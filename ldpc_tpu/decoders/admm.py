@@ -1,0 +1,238 @@
+"""Batched penalized QP-ADMM LDPC decoding (paper arXiv:1910.12712).
+
+TPU-first re-design of the reference QP-ADMM decoder (``algo/qp_admm.h``):
+the per-trial sparse problem construction (``ConstructADMMProblem``,
+``qp_admm.h:13-102``) is hoisted to the host — the cascaded three-variable
+parity structure depends only on H — and stored as padded static index/coef
+tables. The iteration (``qp_admm.h:130-163``) becomes masked gathers +
+element-wise updates over a ``(B, n_var)`` / ``(B, n_con)`` batch, with the
+per-trial early break (``sum2 < eps_stop``) replaced by a per-lane done mask
+inside a ``lax.while_loop`` (converged lanes are frozen, so semantics match
+the scalar break exactly).
+
+Cascade construction semantics (mirrors ``qp_admm.h:58-93``):
+
+* degree-1 check on x:            x <= 0
+* degree-2 check on (x_i, x_j):   x_i - x_j <= 0 and x_j - x_i <= 0
+* degree-d (d>=3): chain of d-2 three-variable parity constraints through
+  d-3 auxiliary variables; each 3-var check (i, j, h) contributes the four
+  inequalities (+,-,-)<=0, (-,+,-)<=0, (-,-,+)<=0, (+,+,+)<=2
+  (``add_three``, ``qp_admm.h:34-57``).
+
+The decoder certificate is always True when the (alpha, mu) precondition
+``min(e) * mu > alpha`` holds, else the whole batch fails with the all-zero
+word (``qp_admm.h:108-114,166``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import DecodeResult
+
+__all__ = ["ADMMStructure", "QPADMMDecoder"]
+
+
+@dataclass(frozen=True)
+class ADMMStructure:
+    """Static constraint structure of the cascaded parity polytope (host)."""
+
+    n: int                    # codeword length
+    n_var: int                # n + auxiliary variables
+    n_con: int                # constraint rows
+    con_var: np.ndarray       # (n_con, 3) int32 var index per slot; pad == n_var
+    con_coef: np.ndarray      # (n_con, 3) float32; pad == 0
+    b: np.ndarray             # (n_con,) float32 right-hand sides
+    var_con: np.ndarray       # (n_var, k_max) int32 con index; pad == n_con
+    var_coef: np.ndarray      # (n_var, k_max) float32; pad == 0
+    e: np.ndarray             # (n_var,) float32: sum of squared coefs per var
+
+    @staticmethod
+    def from_h(h: np.ndarray, n_var_cap: int | None = None,
+               n_con_cap: int | None = None,
+               k_max_cap: int | None = None) -> "ADMMStructure":
+        """Build the cascade from H. Optional caps pad the tables to fixed
+        capacities so structures from different H (same caps) can be stacked
+        and vmapped (used by the population-parallel matrix optimizer)."""
+        h = np.asarray(h, dtype=np.uint8) % 2
+        m, n = h.shape
+        cons: list[tuple[list[int], list[float], float]] = []
+
+        def add(varids, coefs, rhs):
+            cons.append((list(varids), list(coefs), float(rhs)))
+
+        def add_three(i, j, k):
+            add([i, j, k], [1.0, -1.0, -1.0], 0.0)
+            add([i, j, k], [-1.0, 1.0, -1.0], 0.0)
+            add([i, j, k], [-1.0, -1.0, 1.0], 0.0)
+            add([i, j, k], [1.0, 1.0, 1.0], 2.0)
+
+        pos = n
+        for i in range(m):
+            idx = np.nonzero(h[i])[0].tolist()
+            if not idx:
+                continue
+            if len(idx) == 1:
+                add([idx[0]], [1.0], 0.0)
+                continue
+            if len(idx) == 2:
+                add([idx[0], idx[1]], [1.0, -1.0], 0.0)
+                add([idx[0], idx[1]], [-1.0, 1.0], 0.0)
+                continue
+            last = idx[0]
+            for j in range(1, len(idx) - 2):
+                aux = pos
+                pos += 1
+                add_three(last, idx[j], aux)
+                last = aux
+            add_three(last, idx[-2], idx[-1])
+
+        n_var = pos
+        n_con = len(cons)
+        nv = n_var_cap or n_var
+        nc = n_con_cap or n_con
+        assert nv >= n_var and nc >= n_con
+
+        con_var = np.full((nc, 3), nv, dtype=np.int32)
+        con_coef = np.zeros((nc, 3), dtype=np.float32)
+        b = np.zeros((nc,), dtype=np.float32)
+        per_var: list[list[tuple[int, float]]] = [[] for _ in range(nv)]
+        for ci, (vids, cfs, rhs) in enumerate(cons):
+            b[ci] = rhs
+            for s, (vi, cf) in enumerate(zip(vids, cfs)):
+                con_var[ci, s] = vi
+                con_coef[ci, s] = cf
+                per_var[vi].append((ci, cf))
+
+        k_max = k_max_cap or max((len(p) for p in per_var), default=1)
+        assert all(len(p) <= k_max for p in per_var)
+        var_con = np.full((nv, k_max), nc, dtype=np.int32)
+        var_coef = np.zeros((nv, k_max), dtype=np.float32)
+        e = np.zeros((nv,), dtype=np.float32)
+        for vi, plist in enumerate(per_var):
+            for s, (ci, cf) in enumerate(plist):
+                var_con[vi, s] = ci
+                var_coef[vi, s] = cf
+                e[vi] += cf * cf
+        # capacity-padded phantom variables get e == 0; they are excluded from
+        # the e_min precondition below by masking on real variables only.
+        return ADMMStructure(n=n, n_var=nv, n_con=nc, con_var=con_var,
+                             con_coef=con_coef, b=b, var_con=var_con,
+                             var_coef=var_coef, e=e)
+
+    @property
+    def e_min(self) -> float:
+        # min over *real* variables (phantom capacity rows have e == 0).
+        # Real variables always have at least one constraint entry in the
+        # reference construction whenever their check row is nonempty.
+        real = self.e[self.e > 0]
+        return float(real.min()) if real.size else float("inf")
+
+
+class QPADMMDecoder:
+    """Penalized-objective ADMM decoder specialized to one H.
+
+    Defaults mirror the reference's OPTIMAL config: alpha=1.2, mu=0.55,
+    max_iter=10000, eps_stop=1e-5 (``main.cpp:30-34``).
+    """
+
+    def __init__(self, h, alpha: float = 1.2, mu: float = 0.55,
+                 max_iter: int = 10000, eps_stop: float = 1e-5,
+                 structure: ADMMStructure | None = None):
+        self.name = "QP-ADMM"
+        self.structure = structure or ADMMStructure.from_h(np.asarray(h))
+        self.n = self.structure.n
+        self.alpha = float(alpha)
+        self.mu = float(mu)
+        self.max_iter = int(max_iter)
+        self.eps_stop = float(eps_stop)
+
+        s = self.structure
+        self._con_var = jnp.asarray(s.con_var)
+        self._con_coef = jnp.asarray(s.con_coef)
+        self._b = jnp.asarray(s.b)
+        self._var_con = jnp.asarray(s.var_con)
+        self._var_coef = jnp.asarray(s.var_coef)
+        self._e = jnp.asarray(s.e)
+        self._decode = jax.jit(self._decode_impl)
+        self._decode_params = jax.jit(self._decode_params_impl)
+
+    # ------------------------------------------------------------------
+    def _decode_params_impl(self, llrs, alpha, mu) -> DecodeResult:
+        """Decode with traced (alpha, mu) — vmappable for grid search."""
+        s = self.structure
+        bsz = llrs.shape[0]
+        q = jnp.concatenate(
+            [jnp.asarray(llrs, jnp.float32),
+             jnp.zeros((bsz, s.n_var - s.n), jnp.float32)], axis=1)
+
+        e_min = jnp.min(jnp.where(self._e > 0, self._e, jnp.inf))
+        feasible = e_min * mu > alpha          # qp_admm.h:108-114
+
+        inv_coef = -1.0 / (mu * self._e - alpha)   # qp_admm.h:116-121 (safe:
+        # phantom vars with e==0 give -1/(-alpha); their q==0 so v==clip(...)
+        # stays irrelevant — they appear in no constraint.)
+
+        v0 = (q > 0.0).astype(jnp.float32)          # qp_admm.h:116-119
+        z0 = jnp.zeros((bsz, s.n_con), jnp.float32)
+        y0 = jnp.zeros((bsz, s.n_con), jnp.float32)
+
+        def gather_con(tcon):
+            # (B, n_con) -> per-variable weighted sums (B, n_var)
+            t = jnp.concatenate(
+                [tcon, jnp.zeros((bsz, 1), tcon.dtype)], axis=1)
+            g = jnp.take(t, self._var_con.reshape(-1), axis=1).reshape(
+                bsz, s.n_var, -1)
+            return jnp.sum(g * self._var_coef[None], axis=-1)
+
+        def gather_var(v):
+            # (B, n_var) -> per-constraint A v (B, n_con)
+            vpad = jnp.concatenate(
+                [v, jnp.zeros((bsz, 1), v.dtype)], axis=1)
+            g = jnp.take(vpad, self._con_var.reshape(-1), axis=1).reshape(
+                bsz, s.n_con, 3)
+            return jnp.sum(g * self._con_coef[None], axis=-1)
+
+        def body(state):
+            it, v, z, yl, done = state
+            t = yl + mu * (z - self._b[None])
+            bq = q + alpha / 2.0 + gather_con(t)
+            v_new = jnp.clip(bq * inv_coef[None], 0.0, 1.0)
+            r = self._b[None] - gather_var(v_new)
+            z_new = jnp.maximum(0.0, r - yl)
+            y_new = jnp.maximum(0.0, yl - r)
+            sum2 = jnp.sum((z_new - r) ** 2, axis=-1)
+            # freeze converged lanes (scalar-code `break`, qp_admm.h:161-163)
+            keep = done[:, None]
+            v = jnp.where(keep, v, v_new)
+            z = jnp.where(keep, z, z_new)
+            yl = jnp.where(keep, yl, y_new)
+            done = done | (sum2 < self.eps_stop)
+            return it + 1, v, z, yl, done
+
+        def cond(state):
+            it, _, _, _, done = state
+            return (it < self.max_iter) & ~jnp.all(done)
+
+        init = (jnp.int32(0), v0, z0, y0, jnp.zeros((bsz,), bool))
+        it, v, _, _, done = jax.lax.while_loop(cond, body, init)
+
+        bits = (v[:, : s.n] > 0.5).astype(jnp.uint8)   # round at 0.5
+        bits = jnp.where(feasible, bits, 0)             # all-zero on bail
+        success = jnp.full((bsz,), True) & feasible     # qp_admm.h:166
+        iters = jnp.where(done, it, self.max_iter).astype(jnp.int32)
+        return DecodeResult(bits=bits, success=success, iterations=iters)
+
+    def _decode_impl(self, llrs):
+        return self._decode_params_impl(llrs, self.alpha, self.mu)
+
+    def decode_batch(self, llrs) -> DecodeResult:
+        return self._decode(llrs)
+
+    def decode_batch_params(self, llrs, alpha, mu) -> DecodeResult:
+        """Traced-parameter entry point for the (alpha, mu) grid search."""
+        return self._decode_params(llrs, alpha, mu)

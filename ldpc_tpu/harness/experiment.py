@@ -1,0 +1,170 @@
+"""Monte-Carlo FER experiment harness.
+
+TPU-native re-design of the reference pthread harness (``experiment.h``):
+
+* the mutex-guarded dynamic work queue (``experiment.h:86-93``) becomes a
+  *static* sharding of the trial index space — valid because per-trial
+  randomness is index-derived, not order-derived (``experiment.h:97`` seeds
+  ``mt19937 rnd(trial_index+1)``; we use ``jax.random.fold_in(key, index)``);
+* per-thread counter structs merged by summation (``merge_exp_results``,
+  ``experiment.h:70-78``) become a single ``jnp.sum`` over the (sharded)
+  batch axis — XLA inserts the cross-chip ``psum``;
+* classification semantics match ``exp`` (``experiment.h:109-118``):
+  ``correct``  = certificate && valid codeword && equals the transmitted word,
+  ``pseudo``   = certificate && valid codeword && differs (pseudocodeword),
+  everything else is a frame error. The reference tracks but never reports
+  ``pseudo`` (``main.cpp:79-86``); we report it.
+* the Hamming tracker (``experiment.h:25-47``) counts channel hard-decision
+  errors (y<=0 for bit 0, y>0 for bit 1) split by correct/wrong.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channel.awgn import bpsk, llr_variance
+from ..codes.gf2 import is_codeword
+from ..decoders.base import Decoder
+
+__all__ = ["ExperimentResult", "run_experiment", "make_experiment_step"]
+
+
+@dataclass
+class ExperimentResult:
+    """Aggregated counters; derived metrics mirror ``experiment.h:49-68``."""
+
+    total: int = 0
+    correct: int = 0
+    pseudo: int = 0
+    sum_hamming: int = 0
+    sum_hamming_ok: int = 0
+    sum_hamming_wrong: int = 0
+    time_sec: float = 0.0          # wall-clock decode time (whole batches)
+    sum_iterations: int = 0        # extra diagnostic (not in reference)
+
+    @property
+    def fer(self) -> float:
+        return (self.total - self.correct) / max(1, self.total)
+
+    @property
+    def avg_time(self) -> float:
+        """Seconds per codeword. NOTE: the reference's Time column is
+        single-thread decode latency (``experiment.h:100-103``); ours is
+        wall-clock / trials on the whole accelerator — document both."""
+        return self.time_sec / max(1, self.total)
+
+    @property
+    def throughput(self) -> float:
+        return self.total / self.time_sec if self.time_sec > 0 else float("inf")
+
+    @property
+    def mean_hamming(self) -> float:
+        return self.sum_hamming / max(1, self.total)
+
+    @property
+    def mean_hamming_ok(self) -> float:
+        return self.sum_hamming_ok / max(1, self.correct)
+
+    @property
+    def mean_hamming_wrong(self) -> float:
+        return self.sum_hamming_wrong / max(1, self.total - self.correct)
+
+    def merge(self, other: "ExperimentResult") -> None:
+        for f in ("total", "correct", "pseudo", "sum_hamming",
+                  "sum_hamming_ok", "sum_hamming_wrong", "time_sec",
+                  "sum_iterations"):
+            setattr(self, f, getattr(self, f) + getattr(other, f))
+
+
+def make_experiment_step(decoder: Decoder, h, snr: float, base_key,
+                         donate: bool = True):
+    """Build the jitted one-batch experiment step.
+
+    step(codewords (B, n) uint8, trial_idx (B,) int32) -> counters dict.
+    All compute — channel, decode, classification, reduction — is one XLA
+    program; with sharded inputs the final sums become psums over the mesh.
+    """
+    h_dev = jnp.asarray(np.asarray(h), jnp.uint8)
+    sigma = float(np.sqrt(float(llr_variance(snr))))
+    inv_var = float(2.0 / float(llr_variance(snr)))
+
+    def step(codewords, trial_idx):
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(trial_idx)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (decoder.n,), jnp.float32))(keys)
+        y = bpsk(codewords) + sigma * noise
+        llrs = inv_var * y
+        res = decoder.decode_batch(llrs)
+        valid = res.success & is_codeword(h_dev, res.bits)
+        match = jnp.all(res.bits == codewords, axis=-1)
+        correct = valid & match
+        pseudo = valid & ~match
+        # channel hard-decision Hamming distance (experiment.h:33-46)
+        hd = jnp.sum(jnp.where(codewords == 0, y <= 0, y > 0), axis=-1)
+        c64 = lambda x: jnp.sum(x.astype(jnp.int64))
+        return {
+            "total": jnp.asarray(codewords.shape[0], jnp.int64),
+            "correct": c64(correct),
+            "pseudo": c64(pseudo),
+            "sum_hamming": c64(hd),
+            "sum_hamming_ok": c64(jnp.where(correct, hd, 0)),
+            "sum_hamming_wrong": c64(jnp.where(correct, 0, hd)),
+            "sum_iterations": c64(res.iterations),
+        }
+
+    return jax.jit(step)
+
+
+def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
+                   batch_size: int = 1024, sharding=None,
+                   warmup: bool = True) -> ExperimentResult:
+    """Run FER estimation over all ``codewords`` at one SNR.
+
+    ``codewords``: (T, n) uint8 (host or device). Trials are processed in
+    fixed-size batches (the last batch is padded; padded lanes are dropped
+    from the counters by masking through trial_idx < T).
+    """
+    cw = np.asarray(codewords, dtype=np.uint8)
+    t_total, n = cw.shape
+    step = make_experiment_step(decoder, h, snr, key)
+
+    def place(batch, idx):
+        b_dev, i_dev = jnp.asarray(batch), jnp.asarray(idx)
+        if sharding is not None and b_dev.shape[0] % sharding.num_devices == 0:
+            b_dev = jax.device_put(b_dev, sharding.batch_sharding)
+            i_dev = jax.device_put(i_dev, sharding.index_sharding)
+        return b_dev, i_dev
+
+    # batch plan: full batches + one remainder batch (own compiled shape)
+    batches = []
+    start = 0
+    while start < t_total:
+        stop = min(start + batch_size, t_total)
+        batches.append((start, stop))
+        start = stop
+
+    if warmup:  # compile every distinct shape outside the timed region
+        shapes = {stop - start for start, stop in batches}
+        for bsz in shapes:
+            out = step(*place(cw[:bsz], np.arange(bsz, dtype=np.int32)))
+            jax.block_until_ready(out)
+
+    result = ExperimentResult()
+    t_start = time.perf_counter()
+    for start, stop in batches:
+        idx = np.arange(start, stop, dtype=np.int32)
+        counters = step(*place(cw[start:stop], idx))
+        host = {k: int(v) for k, v in jax.device_get(counters).items()}
+        result.merge(ExperimentResult(
+            total=host["total"], correct=host["correct"],
+            pseudo=host["pseudo"], sum_hamming=host["sum_hamming"],
+            sum_hamming_ok=host["sum_hamming_ok"],
+            sum_hamming_wrong=host["sum_hamming_wrong"],
+            sum_iterations=host["sum_iterations"]))
+    result.time_sec = time.perf_counter() - t_start
+    return result
