@@ -106,9 +106,11 @@ def make_experiment_step(decoder: Decoder, h, snr: float, base_key,
         pseudo = valid & ~match
         # channel hard-decision Hamming distance (experiment.h:33-46)
         hd = jnp.sum(jnp.where(codewords == 0, y <= 0, y > 0), axis=-1)
-        c64 = lambda x: jnp.sum(x.astype(jnp.int64))
+        # per-batch counters fit int32 comfortably (B*n < 2^31); the host
+        # accumulates across batches in Python ints
+        c64 = lambda x: jnp.sum(x.astype(jnp.int32))
         return {
-            "total": jnp.asarray(codewords.shape[0], jnp.int64),
+            "total": jnp.asarray(codewords.shape[0], jnp.int32),
             "correct": c64(correct),
             "pseudo": c64(pseudo),
             "sum_hamming": c64(hd),

@@ -1,0 +1,66 @@
+"""CSV report writer, format-compatible with the reference ``report.csv``.
+
+Header and column order exactly match ``main.cpp:47-49,79-86``:
+``Method,SNR,Sigma,FER,Time,AvgHamming,AvgHammingCorrect,AvgHammingWrong``
+with 12-decimal fixed formatting. An *extended* report adds the metrics the
+reference tracks but never writes (pseudocodeword rate, ``experiment.h:116``)
+plus TPU throughput columns.
+"""
+from __future__ import annotations
+
+import math
+import os
+
+from .experiment import ExperimentResult
+
+REFERENCE_HEADER = ("Method,SNR,Sigma,FER,Time,"
+                    "AvgHamming,AvgHammingCorrect,AvgHammingWrong")
+EXTENDED_HEADER = (REFERENCE_HEADER +
+                   ",Pseudo,Throughput,AvgIterations,Trials")
+
+__all__ = ["ReportWriter", "REFERENCE_HEADER", "EXTENDED_HEADER"]
+
+
+def _sigma(snr: float) -> float:
+    return math.sqrt(10 ** (-snr / 10) / 2)
+
+
+class ReportWriter:
+    """Streams one row per (decoder, SNR) as results complete, so a crashed
+    sweep retains finished rows (main.cpp:79-86 semantics)."""
+
+    def __init__(self, path: str, extended: bool = False):
+        self.path = path
+        self.extended = extended
+        header = EXTENDED_HEADER if extended else REFERENCE_HEADER
+        write_header = not os.path.exists(path) or os.path.getsize(path) == 0
+        self._f = open(path, "a")
+        if write_header:
+            self._f.write(header + "\n")
+            self._f.flush()
+
+    def write_row(self, method: str, snr: float, res: ExperimentResult) -> None:
+        cols = [method,
+                f"{snr:.12f}",
+                f"{_sigma(snr):.12f}",
+                f"{res.fer:.12f}",
+                f"{res.avg_time:.12f}",
+                f"{res.mean_hamming:.12f}",
+                f"{res.mean_hamming_ok:.12f}",
+                f"{res.mean_hamming_wrong:.12f}"]
+        if self.extended:
+            cols += [f"{res.pseudo / max(1, res.total):.12f}",
+                     f"{res.throughput:.3f}",
+                     f"{res.sum_iterations / max(1, res.total):.3f}",
+                     str(res.total)]
+        self._f.write(",".join(cols) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -2,13 +2,17 @@
 logic is exercised without TPU hardware, as SURVEY.md §4 prescribes."""
 import os
 
-# Hard override: the surrounding environment may point JAX at a TPU platform
-# (e.g. JAX_PLATFORMS=axon); unit tests always run on the virtual CPU mesh.
+# Hard override: the surrounding environment may register a TPU platform
+# plugin at interpreter start (sitecustomize) and set the *config-level*
+# jax_platforms, which trumps the JAX_PLATFORMS env var. Unit tests always run
+# on an 8-virtual-device CPU mesh, so re-override at the config level before
+# any backend initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
