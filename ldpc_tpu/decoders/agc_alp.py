@@ -1,0 +1,39 @@
+"""AGC-ALP: adaptive LP decoding with Adaptive Cut Generation
+(paper IEEE 6218777; reference ``algo/agc_alp.h``).
+
+Extends ALP with a second cut source: each round, for lanes where the
+original H yielded no violated cut, H is GF(2)-Gaussian-eliminated with
+columns ordered most-fractional-first w.r.t. the current LP solution
+(``CalculateGauss``, ``agc_alp.h:19-74``), and the cut search runs over the
+eliminated rows. The loop stops per lane when the total LP row count reaches
+``max_rows`` (1000 in the reference benchmark, ``main.cpp:38``) or no cut
+source fires (``agc_alp.h:99-101``, including the ``||`` short-circuit: gauss
+cuts are only generated when zero H cuts were added that round).
+
+The elimination is the batched fixed-trip masked routine in
+:mod:`ldpc_tpu.ops.gf2_gauss` — per-lane dense uint8 row ops on the VPU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.gf2_gauss import calculate_gauss_batched
+from .alp import _AdaptiveLPBase
+
+__all__ = ["AGCALPDecoder"]
+
+
+class AGCALPDecoder(_AdaptiveLPBase):
+    use_gauss = True
+
+    def __init__(self, h, max_rows: int = 1000, max_rounds: int = 64,
+                 lp_iters: int = 600, int_tol: float = 1e-2,
+                 cut_tol: float = 1e-4, gauss_eps: float = 1e-3):
+        super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,
+                         lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol)
+        self.name = "AGC-ALP"
+        self.gauss_eps = float(gauss_eps)
+
+    def _gauss_sup(self, x):
+        he = calculate_gauss_batched(self._h, x, self.gauss_eps)
+        return he.astype(bool)

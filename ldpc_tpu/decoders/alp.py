@@ -1,0 +1,188 @@
+"""Adaptive LP decoding (ALP) with on-device cut generation.
+
+TPU-first re-design of ``algo/alp.h``: start from the box LP whose optimum is
+the hard decision on the LLRs (objective = channel LLRs, no parity rows,
+``alp.h:110-121``), then repeatedly (a) search every check row for the most
+violated odd-set parity cut (``AddRowsALP``, ``alp.h:21-97``), (b) append the
+violated cuts into a fixed-capacity per-lane constraint buffer (masked write
+— no dynamic shapes), and (c) re-solve the LP with warm-started batched PDHG
+(:mod:`ldpc_tpu.ops.lp_solver`) — until no lane adds a cut or the round cap
+hits. Certificate per ``DecodeFromLp`` (``full_lp.h:44-59``) plus the
+is-codeword assertion (``alp.h:130-132``) folded into ``success``.
+
+Cut search semantics (vectorized over (B, m, n) masks, exact transcription):
+for each check row, V = {j in supp: u_j > 0.5}; if |V| is even, flip the
+membership of the support position closest to 0.5 (first index on ties,
+``alp.h:29-38,45-61``); the cut  sum_V x - sum_{supp \\ V} x <= |V| - 1  is
+added iff  sum_V (1-u) + sum_{supp \\ V} u < 1 - tol  (``alp.h:63-94``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.gf2 import is_codeword
+from ..ops.lp_solver import pdhg_box_lp
+from .base import DecodeResult
+
+__all__ = ["ALPDecoder", "alp_cut_candidates", "append_cuts"]
+
+
+def alp_cut_candidates(sup, u, cut_tol: float):
+    """Vectorized AddRowsALP cut search.
+
+    sup: (..., m, n) bool support masks (static H rows broadcast, or per-lane
+    eliminated rows); u: (B, n) current LP solution.
+    Returns (rows (B, m, n) float32 signed cut rows, rhs (B, m) float32,
+    add (B, m) bool).
+    """
+    u_b = u[:, None, :]                                   # (B, 1, n)
+    sup = jnp.broadcast_to(sup, u_b.shape[:1] + sup.shape[-2:]) \
+        if sup.ndim == 2 else sup
+    n_size = jnp.sum(sup, axis=-1)                        # (B, m)
+    dist = jnp.where(sup, jnp.abs(u_b - 0.5), jnp.inf)
+    j_best = jnp.argmin(dist, axis=-1)                    # first min (B, m)
+    in_v = sup & (u_b > 0.5)
+    v_size = jnp.sum(in_v, axis=-1)
+    flip = (v_size % 2 == 0)                              # (B, m)
+    is_best = (jax.lax.broadcasted_iota(jnp.int32, sup.shape, sup.ndim - 1)
+               == j_best[..., None])
+    is_v = jnp.where(is_best & flip[..., None], u_b <= 0.5, u_b > 0.5) & sup
+    viol = jnp.sum(jnp.where(is_v, 1.0 - u_b, jnp.where(sup, u_b, 0.0)),
+                   axis=-1)
+    add = (n_size > 0) & (viol < 1.0 - cut_tol)
+    rows = jnp.where(is_v, 1.0, jnp.where(sup, -1.0, 0.0)).astype(jnp.float32)
+    rhs = (jnp.sum(is_v, axis=-1) - 1).astype(jnp.float32)
+    return rows, rhs, add
+
+
+def append_cuts(a_buf, rhs_buf, count, rows, rhs, add):
+    """Masked append of candidate cuts into the per-lane buffers.
+
+    a_buf (B, R, n) f32, rhs_buf (B, R), count (B,) int32; rows (B, m, n),
+    rhs (B, m), add (B, m) bool. Overflowing cuts are dropped. Returns
+    (a_buf, rhs_buf, count, n_added (B,)).
+    """
+    cap = a_buf.shape[1]
+    # target slot of each candidate (in row order), R for dropped
+    pos = count[:, None] + jnp.cumsum(add, axis=1) - add.astype(jnp.int32)
+    pos = jnp.where(add & (pos < cap), pos, cap)
+    a_buf = jax.vmap(lambda a, o, r: a.at[o].set(r, mode="drop"))(
+        a_buf, pos, rows)
+    rhs_buf = jax.vmap(lambda b, o, r: b.at[o].set(r, mode="drop"))(
+        rhs_buf, pos, rhs)
+    n_added = jnp.sum(pos < cap, axis=1).astype(jnp.int32)
+    return a_buf, rhs_buf, count + n_added, n_added
+
+
+class _AdaptiveLPBase:
+    """Shared cut-loop driver for ALP and AGC-ALP."""
+
+    use_gauss = False
+
+    def __init__(self, h, max_rows: int, max_rounds: int, lp_iters: int,
+                 int_tol: float, cut_tol: float = 1e-4):
+        h = np.asarray(h, dtype=np.uint8) % 2
+        self._h = jnp.asarray(h)
+        self._sup = jnp.asarray(h.astype(bool))
+        self.m, self.n = h.shape
+        self.max_rows = int(max_rows)
+        self.max_rounds = int(max_rounds)
+        self.lp_iters = int(lp_iters)
+        self.int_tol = float(int_tol)
+        self.cut_tol = float(cut_tol)
+        # capacity: the reference checks `rows < max_rows` BEFORE a round and
+        # lets the final round overshoot (agc_alp.h:99-101), so pad capacity
+        # by up to 2m extra cuts
+        self.capacity = self.max_rows + 2 * self.m
+        self._decode = jax.jit(self._decode_impl)
+
+    # subclass hook: support masks of the solution-adapted (eliminated) H,
+    # used as the extra cut source for lanes whose H-cut count was zero
+    def _gauss_sup(self, x):
+        raise NotImplementedError
+
+    def _decode_impl(self, llrs) -> DecodeResult:
+        bsz = llrs.shape[0]
+        c = jnp.asarray(llrs, jnp.float32)
+        cap = self.capacity
+
+        x0 = (c < 0.0).astype(jnp.float32)    # exact box-LP optimum
+        a0 = jnp.zeros((bsz, cap, self.n), jnp.float32)
+        r0 = jnp.zeros((bsz, cap), jnp.float32)
+        y0 = jnp.zeros((bsz, cap), jnp.float32)
+        cnt0 = jnp.zeros((bsz,), jnp.int32)
+        done0 = jnp.zeros((bsz,), bool)
+
+        def body(state):
+            rnd, x, y, a_buf, rhs_buf, count, done = state
+            eligible = ~done & (count < self.max_rows)
+            rows, rhs, add = alp_cut_candidates(self._sup, x, self.cut_tol)
+            add_h = add & eligible[:, None]
+            a_buf, rhs_buf, count, n_h = append_cuts(
+                a_buf, rhs_buf, count, rows, rhs, add_h)
+            if self.use_gauss:
+                # short-circuit semantics (agc_alp.h:99-101): gauss cuts only
+                # for lanes that added no H cuts this round; skip the whole
+                # (expensive) elimination when no lane needs it
+                need = eligible & (n_h == 0)
+
+                def with_gauss(args):
+                    a_b, r_b, cnt = args
+                    g_sup = self._gauss_sup(x)
+                    g_rows, g_rhs, g_add = alp_cut_candidates(
+                        g_sup, x, self.cut_tol)
+                    g_add = g_add & need[:, None]
+                    return append_cuts(a_b, r_b, cnt, g_rows, g_rhs, g_add)
+
+                def without_gauss(args):
+                    a_b, r_b, cnt = args
+                    return a_b, r_b, cnt, jnp.zeros_like(n_h)
+
+                a_buf, rhs_buf, count, n_g = jax.lax.cond(
+                    jnp.any(need), with_gauss, without_gauss,
+                    (a_buf, rhs_buf, count))
+                n_added = n_h + n_g
+            else:
+                n_added = n_h
+            done = done | (n_added == 0)
+            # re-solve for lanes that changed; frozen lanes keep their x, y
+            x_new, y_new = pdhg_box_lp(c, a_buf, rhs_buf, x, y, self.lp_iters)
+            keep = done[:, None]
+            x = jnp.where(keep, x, x_new)
+            y = jnp.where(keep, y, y_new)
+            return rnd + 1, x, y, a_buf, rhs_buf, count, done
+
+        def cond(state):
+            rnd, *_, done = state
+            return (rnd < self.max_rounds) & ~jnp.all(done)
+
+        state = (jnp.int32(0), x0, y0, a0, r0, cnt0, done0)
+        rnd, x, y, a_buf, rhs_buf, count, done = jax.lax.while_loop(
+            cond, body, state)
+
+        bits = (x > 0.5).astype(jnp.uint8)
+        integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
+                           axis=-1)
+        success = integral & is_codeword(self._h, bits)
+        return DecodeResult(bits=bits, success=success,
+                            iterations=jnp.broadcast_to(rnd, (bsz,)))
+
+    def decode_batch(self, llrs) -> DecodeResult:
+        return self._decode(llrs)
+
+
+class ALPDecoder(_AdaptiveLPBase):
+    """Adaptive LP decoder (``ALPDecoder``, ``alp.h:99-138``). The reference
+    has no row cap for plain ALP; ``max_rows`` defaults high enough to never
+    bind in practice."""
+
+    use_gauss = False
+
+    def __init__(self, h, max_rounds: int = 64, lp_iters: int = 600,
+                 int_tol: float = 1e-2, max_rows: int = 512,
+                 cut_tol: float = 1e-4):
+        super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,
+                         lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol)
+        self.name = "ALP"
