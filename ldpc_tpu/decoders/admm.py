@@ -133,6 +133,80 @@ class ADMMStructure:
         return float(real.min()) if real.size else float("inf")
 
 
+def decode_qp_admm(tables: dict, n: int, llrs, alpha, mu,
+                   max_iter: int, eps_stop: float) -> DecodeResult:
+    """Functional QP-ADMM decode over explicit structure tensors.
+
+    ``tables``: dict with keys con_var (nc,3) i32, con_coef (nc,3) f32,
+    b (nc,) f32, var_con (nv,k) i32, var_coef (nv,k) f32, e (nv,) f32 —
+    possibly capacity-padded (phantom vars/cons carry zero coefficients).
+    This form is vmappable over a leading proposals axis (the matrix
+    optimizer evaluates a population of H candidates in one program).
+    """
+    con_var, con_coef = tables["con_var"], tables["con_coef"]
+    b_vec = tables["b"]
+    var_con, var_coef = tables["var_con"], tables["var_coef"]
+    e = tables["e"]
+    n_var = var_con.shape[0]
+    n_con = con_var.shape[0]
+    bsz = llrs.shape[0]
+
+    q = jnp.concatenate(
+        [jnp.asarray(llrs, jnp.float32),
+         jnp.zeros((bsz, n_var - n), jnp.float32)], axis=1)
+
+    e_min = jnp.min(jnp.where(e > 0, e, jnp.inf))
+    feasible = e_min * mu > alpha                  # qp_admm.h:108-114
+
+    denom = mu * e - alpha
+    # phantom capacity vars have e == 0 -> denom == -alpha; their q is 0 and
+    # they appear in no constraint, so their value is inert. Guard /0 anyway.
+    inv_coef = -1.0 / jnp.where(denom == 0, 1.0, denom)
+
+    v0 = (q > 0.0).astype(jnp.float32)             # qp_admm.h:116-119
+    z0 = jnp.zeros((bsz, n_con), jnp.float32)
+    y0 = jnp.zeros((bsz, n_con), jnp.float32)
+
+    def gather_con(tcon):
+        t = jnp.concatenate([tcon, jnp.zeros((bsz, 1), tcon.dtype)], axis=1)
+        g = jnp.take(t, var_con.reshape(-1), axis=1).reshape(bsz, n_var, -1)
+        return jnp.sum(g * var_coef[None], axis=-1)
+
+    def gather_var(v):
+        vpad = jnp.concatenate([v, jnp.zeros((bsz, 1), v.dtype)], axis=1)
+        g = jnp.take(vpad, con_var.reshape(-1), axis=1).reshape(bsz, n_con, 3)
+        return jnp.sum(g * con_coef[None], axis=-1)
+
+    def body(state):
+        it, v, z, yl, done = state
+        t = yl + mu * (z - b_vec[None])
+        bq = q + alpha / 2.0 + gather_con(t)
+        v_new = jnp.clip(bq * inv_coef[None], 0.0, 1.0)
+        r = b_vec[None] - gather_var(v_new)
+        z_new = jnp.maximum(0.0, r - yl)
+        y_new = jnp.maximum(0.0, yl - r)
+        sum2 = jnp.sum((z_new - r) ** 2, axis=-1)
+        keep = done[:, None]                        # scalar-code `break`
+        v = jnp.where(keep, v, v_new)
+        z = jnp.where(keep, z, z_new)
+        yl = jnp.where(keep, yl, y_new)
+        done = done | (sum2 < eps_stop)
+        return it + 1, v, z, yl, done
+
+    def cond(state):
+        it, _, _, _, done = state
+        return (it < max_iter) & ~jnp.all(done)
+
+    init = (jnp.int32(0), v0, z0, y0, jnp.zeros((bsz,), bool))
+    it, v, _, _, done = jax.lax.while_loop(cond, body, init)
+
+    bits = (v[:, :n] > 0.5).astype(jnp.uint8)
+    bits = jnp.where(feasible, bits, 0)
+    success = jnp.full((bsz,), True) & feasible     # qp_admm.h:166
+    iters = jnp.where(done, it, max_iter).astype(jnp.int32)
+    return DecodeResult(bits=bits, success=success, iterations=iters)
+
+
 class QPADMMDecoder:
     """Penalized-objective ADMM decoder specialized to one H.
 
@@ -162,70 +236,16 @@ class QPADMMDecoder:
         self._decode_params = jax.jit(self._decode_params_impl)
 
     # ------------------------------------------------------------------
+    @property
+    def tables(self) -> dict:
+        return {"con_var": self._con_var, "con_coef": self._con_coef,
+                "b": self._b, "var_con": self._var_con,
+                "var_coef": self._var_coef, "e": self._e}
+
     def _decode_params_impl(self, llrs, alpha, mu) -> DecodeResult:
         """Decode with traced (alpha, mu) — vmappable for grid search."""
-        s = self.structure
-        bsz = llrs.shape[0]
-        q = jnp.concatenate(
-            [jnp.asarray(llrs, jnp.float32),
-             jnp.zeros((bsz, s.n_var - s.n), jnp.float32)], axis=1)
-
-        e_min = jnp.min(jnp.where(self._e > 0, self._e, jnp.inf))
-        feasible = e_min * mu > alpha          # qp_admm.h:108-114
-
-        inv_coef = -1.0 / (mu * self._e - alpha)   # qp_admm.h:116-121 (safe:
-        # phantom vars with e==0 give -1/(-alpha); their q==0 so v==clip(...)
-        # stays irrelevant — they appear in no constraint.)
-
-        v0 = (q > 0.0).astype(jnp.float32)          # qp_admm.h:116-119
-        z0 = jnp.zeros((bsz, s.n_con), jnp.float32)
-        y0 = jnp.zeros((bsz, s.n_con), jnp.float32)
-
-        def gather_con(tcon):
-            # (B, n_con) -> per-variable weighted sums (B, n_var)
-            t = jnp.concatenate(
-                [tcon, jnp.zeros((bsz, 1), tcon.dtype)], axis=1)
-            g = jnp.take(t, self._var_con.reshape(-1), axis=1).reshape(
-                bsz, s.n_var, -1)
-            return jnp.sum(g * self._var_coef[None], axis=-1)
-
-        def gather_var(v):
-            # (B, n_var) -> per-constraint A v (B, n_con)
-            vpad = jnp.concatenate(
-                [v, jnp.zeros((bsz, 1), v.dtype)], axis=1)
-            g = jnp.take(vpad, self._con_var.reshape(-1), axis=1).reshape(
-                bsz, s.n_con, 3)
-            return jnp.sum(g * self._con_coef[None], axis=-1)
-
-        def body(state):
-            it, v, z, yl, done = state
-            t = yl + mu * (z - self._b[None])
-            bq = q + alpha / 2.0 + gather_con(t)
-            v_new = jnp.clip(bq * inv_coef[None], 0.0, 1.0)
-            r = self._b[None] - gather_var(v_new)
-            z_new = jnp.maximum(0.0, r - yl)
-            y_new = jnp.maximum(0.0, yl - r)
-            sum2 = jnp.sum((z_new - r) ** 2, axis=-1)
-            # freeze converged lanes (scalar-code `break`, qp_admm.h:161-163)
-            keep = done[:, None]
-            v = jnp.where(keep, v, v_new)
-            z = jnp.where(keep, z, z_new)
-            yl = jnp.where(keep, yl, y_new)
-            done = done | (sum2 < self.eps_stop)
-            return it + 1, v, z, yl, done
-
-        def cond(state):
-            it, _, _, _, done = state
-            return (it < self.max_iter) & ~jnp.all(done)
-
-        init = (jnp.int32(0), v0, z0, y0, jnp.zeros((bsz,), bool))
-        it, v, _, _, done = jax.lax.while_loop(cond, body, init)
-
-        bits = (v[:, : s.n] > 0.5).astype(jnp.uint8)   # round at 0.5
-        bits = jnp.where(feasible, bits, 0)             # all-zero on bail
-        success = jnp.full((bsz,), True) & feasible     # qp_admm.h:166
-        iters = jnp.where(done, it, self.max_iter).astype(jnp.int32)
-        return DecodeResult(bits=bits, success=success, iterations=iters)
+        return decode_qp_admm(self.tables, self.n, llrs, alpha, mu,
+                              self.max_iter, self.eps_stop)
 
     def _decode_impl(self, llrs):
         return self._decode_params_impl(llrs, self.alpha, self.mu)
