@@ -64,8 +64,16 @@ def gf2_nullspace(h: np.ndarray) -> tuple[np.ndarray | None, bool]:
     to zero the routine fails (returns ``(None, False)``), exactly as the
     reference declares the matrix singular.  On success returns ``(G, True)``
     with ``G`` of shape ``(n - m, n)`` satisfying ``H @ G.T == 0 (mod 2)``.
+
+    Uses the bit-packed native core when available; NumPy fallback below is
+    the behavioural reference (equivalence unit-tested).
     """
     h = np.array(h, dtype=np.uint8) % 2
+    if h.shape[1] > h.shape[0]:
+        from .. import _native
+        out = _native.nullspace(h)
+        if out is not None:
+            return out
     m, n = h.shape
     pos = np.full(m, -1, dtype=np.int64)
     is_main = np.zeros(n, dtype=bool)

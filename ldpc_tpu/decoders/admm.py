@@ -34,7 +34,25 @@ import numpy as np
 
 from .base import DecodeResult
 
-__all__ = ["ADMMStructure", "QPADMMDecoder"]
+__all__ = ["ADMMStructure", "QPADMMDecoder", "decode_qp_admm"]
+
+
+def _structure_caps(h: np.ndarray) -> tuple[int, int, int]:
+    """Exact (n_var, n_con, k_max) for the cascade of H, vectorized."""
+    h = np.asarray(h, dtype=np.uint8) % 2
+    m, n = h.shape
+    deg = h.sum(axis=1).astype(np.int64)
+    n_aux = int(np.maximum(deg - 3, 0).sum())
+    n_con = int(np.where(deg >= 3, 4 * np.maximum(deg - 2, 0),
+                         np.where(deg == 2, 2, deg)).sum())
+    # per-variable constraint-entry counts: a var in a deg-d check gains
+    # 4 (d>=3 cascade), 2 (d==2), or 1 (d==1) entries; each aux var gains 8
+    contrib = np.where(deg >= 3, 4, np.where(deg == 2, 2, 1))
+    k_var = (h.astype(np.int64) * contrib[:, None]).sum(axis=0)
+    k_max = int(k_var.max(initial=0))
+    if (deg >= 4).any():
+        k_max = max(k_max, 8)
+    return n + n_aux, n_con, max(k_max, 1)
 
 
 @dataclass(frozen=True)
@@ -60,6 +78,22 @@ class ADMMStructure:
         and vmapped (used by the population-parallel matrix optimizer)."""
         h = np.asarray(h, dtype=np.uint8) % 2
         m, n = h.shape
+
+        # native fast path (exact same table layout; see _native/ldpc_host.cpp)
+        caps = _structure_caps(h)
+        nv = n_var_cap or caps[0]
+        nc = n_con_cap or caps[1]
+        km = k_max_cap or caps[2]
+        if nv >= caps[0] and nc >= caps[1] and km >= caps[2]:
+            from .. import _native
+            out = _native.admm_build(h, nv, nc, km)
+            if out is not None:
+                return ADMMStructure(
+                    n=n, n_var=nv, n_con=nc, con_var=out["con_var"],
+                    con_coef=out["con_coef"], b=out["b"],
+                    var_con=out["var_con"], var_coef=out["var_coef"],
+                    e=out["e"])
+
         cons: list[tuple[list[int], list[float], float]] = []
 
         def add(varids, coefs, rhs):
