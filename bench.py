@@ -37,7 +37,8 @@ def main():
     batch = 8192
     codewords = np.asarray(gen_random_codewords(cw_key, g, trials))
 
-    dec = BPDecoder(h, max_iter=50)
+    layout = "pallas" if jax.default_backend() == "tpu" else "mxu"
+    dec = BPDecoder(h, max_iter=50, layout=layout)
     res = run_experiment(dec, h, codewords, snr, noise_key, batch_size=batch)
 
     throughput = res.throughput
@@ -55,6 +56,7 @@ def main():
             "trials": trials,
             "avg_iterations": round(res.sum_iterations / res.total, 2),
             "device": str(jax.devices()[0]),
+            "layout": layout,
         },
     }
     print(json.dumps(out))

@@ -20,7 +20,7 @@ class DecoderConfig:
 
     bp_max_iter: int = 100
     bp_variant: str = "sumprod"          # or "minsum"
-    bp_layout: str = "edge"              # or "dense"
+    bp_layout: str = "mxu"               # edge | dense | mxu | pallas
     admm_alpha: float = 1.2              # OPTIMAL config (main.cpp:30)
     admm_mu: float = 0.55
     admm_max_iter: int = 10000

@@ -25,6 +25,13 @@ Two data layouts:
 * ``layout="dense"``: messages are full masked ``(B, m, n)`` tensors — no
   gathers at all, pure VPU element-wise + reductions. Wins for small codes
   where m*n is within a small factor of E; also the cross-check oracle.
+* ``layout="mxu"``: row-layout messages with the column-side reduction and
+  the edge re-broadcast expressed as matmuls against the static 0/1
+  edge-incidence matrix S (S[e, col(e)] = 1):  L = llr + c2v @ S  and
+  v2c = L @ S^T - c2v.  Zero gathers — both transfers ride the MXU, which
+  on TPU beats gather lowering by a wide margin. ``mxu_dtype=bfloat16``
+  additionally runs the incidence matmuls in bf16 (messages round to 8-bit
+  mantissa; statistically indistinguishable FER, ~2x faster).
 """
 from __future__ import annotations
 
@@ -76,8 +83,9 @@ class BPDecoder:
     """
 
     def __init__(self, h, max_iter: int = 100, variant: str = "sumprod",
-                 layout: str = "edge", ms_factor: float = 0.75,
-                 dtype=jnp.float32, fixed_iters: bool = False):
+                 layout: str = "mxu", ms_factor: float = 0.75,
+                 dtype=jnp.float32, fixed_iters: bool = False,
+                 mxu_dtype=jnp.float32):
         self.name = "BP"
         self.graph = g = CodeGraph.from_h(np.asarray(h))
         self.n = g.n
@@ -88,6 +96,7 @@ class BPDecoder:
         self.ms_factor = float(ms_factor)
         self.dtype = dtype
         self.fixed_iters = bool(fixed_iters)
+        self.mxu_dtype = mxu_dtype
 
         self._row_mask = jnp.asarray(g.row_mask)
         self._row_col = jnp.asarray(g.row_col)            # pads == n
@@ -96,6 +105,26 @@ class BPDecoder:
         self._col_from_row = jnp.asarray(g.col_from_row)  # flat idx, pad == m*dc
         if layout == "dense":
             self._hmask = jnp.asarray(g.h.astype(bool))
+        if layout == "pallas" and jax.default_backend() not in ("tpu",):
+            layout = self.layout = "mxu"        # Mosaic kernels need a TPU
+        if layout == "pallas":
+            if variant != "sumprod":
+                raise ValueError("pallas layout implements sumprod only")
+            from ..ops.pallas.bp_kernel import make_bp_pallas_decoder
+            self.tile_b = 128
+            self._pallas = make_bp_pallas_decoder(
+                g.h, max_iter=self.max_iter, tile_b=self.tile_b,
+                mm_dtype=mxu_dtype)
+        if layout == "mxu":
+            # edge->column incidence: S[e, col(e)] = 1 (pad slots all-zero)
+            e_flat = g.m * g.dc_max
+            s = np.zeros((e_flat, g.n), np.float32)
+            cols = g.row_col.reshape(-1)
+            valid = g.row_mask.reshape(-1)
+            s[np.arange(e_flat)[valid], cols[valid]] = 1.0
+            self._s = jnp.asarray(s, mxu_dtype)
+            self._st = jnp.asarray(s.T, mxu_dtype)
+            self._ht = jnp.asarray(g.h.astype(np.float32).T, mxu_dtype)
         self._decode = jax.jit(partial(self._decode_impl))
 
     # ---- layout plumbing -------------------------------------------------
@@ -128,7 +157,68 @@ class BPDecoder:
         llrs = jnp.asarray(llrs, self.dtype)
         if self.layout == "edge":
             return self._decode_edge(llrs)
+        if self.layout == "mxu":
+            return self._decode_mxu(llrs)
+        if self.layout == "pallas":
+            if llrs.shape[0] % self.tile_b:
+                return self._decode_mxu(llrs)   # shape fallback
+            bits, done, iters = self._pallas(llrs)
+            return DecodeResult(bits=bits.astype(jnp.uint8),
+                                success=done[:, 0] > 0,
+                                iterations=iters[:, 0])
         return self._decode_dense(llrs)
+
+    def _decode_mxu(self, llrs):
+        b = llrs.shape[0]
+        g = self.graph
+        rmask = self._row_mask
+        rmask_flat = rmask.reshape(-1)
+        md = self.m * g.dc_max
+
+        def mm(x, w):
+            return jnp.dot(x.astype(self.mxu_dtype), w,
+                           preferred_element_type=jnp.float32)
+
+        def iteration(v2c_flat):
+            v2c = v2c_flat.reshape(b, self.m, g.dc_max)
+            c2v = _check_update_rowlayout(v2c, rmask[None], self.variant,
+                                          self.ms_factor)
+            c2v_flat = c2v.reshape(b, md)
+            total = llrs + mm(c2v_flat, self._s)           # column sums
+            v2c_next = jnp.where(rmask_flat[None],
+                                 mm(total, self._st) - c2v_flat, NEUTRAL_LLR)
+            bits = (total <= 0.0).astype(jnp.int32)
+            return v2c_next, bits
+
+        def syndrome_ok(bits):
+            parity = mm(bits.astype(jnp.float32), self._ht)
+            return jnp.all(jnp.round(parity) % 2 == 0, axis=-1)
+
+        bits0 = (llrs <= 0.0).astype(jnp.int32)
+        v2c0 = jnp.where(rmask_flat[None], mm(llrs, self._st), NEUTRAL_LLR)
+
+        def body(state):
+            it, v2c, bits, done, iters = state
+            v2c_next, bits_new = iteration(v2c)
+            ok = syndrome_ok(bits_new)
+            newly = ok & ~done
+            bits = jnp.where(done[:, None], bits, bits_new)
+            iters = jnp.where(newly, it + 1, iters)
+            done = done | ok
+            return it + 1, v2c_next, bits, done, iters
+
+        def cond(state):
+            it, _, _, done, _ = state
+            if self.fixed_iters:
+                return it < self.max_iter
+            return (it < self.max_iter) & ~jnp.all(done)
+
+        init = (jnp.int32(0), v2c0, bits0,
+                jnp.zeros((b,), bool), jnp.full((b,), self.max_iter,
+                                                jnp.int32))
+        _, _, bits, done, iters = jax.lax.while_loop(cond, body, init)
+        return DecodeResult(bits=bits.astype(jnp.uint8), success=done,
+                            iterations=iters)
 
     def _decode_edge(self, llrs):
         b = llrs.shape[0]

