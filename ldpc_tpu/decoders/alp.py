@@ -57,23 +57,67 @@ def alp_cut_candidates(sup, u, cut_tol: float):
     return rows, rhs, add
 
 
-def append_cuts(a_buf, rhs_buf, count, rows, rhs, add):
+_HASH_SEED = 0x5DEECE66
+
+
+def _hash_weights(n: int):
+    rng = np.random.default_rng(_HASH_SEED)
+    w1 = rng.integers(-2**31, 2**31 - 1, n, dtype=np.int64).astype(np.int32)
+    w2 = rng.integers(-2**31, 2**31 - 1, n, dtype=np.int64).astype(np.int32)
+    return jnp.asarray(w1), jnp.asarray(w2)
+
+
+def cut_hashes(rows, w1, w2):
+    """Two independent wraparound-int32 hashes of signed cut rows
+    (B, m, n) -> ((B, m), (B, m)). Identical V-sets hash identically."""
+    ri = rows.astype(jnp.int32)
+    return (jnp.einsum("bmn,n->bm", ri, w1),
+            jnp.einsum("bmn,n->bm", ri, w2))
+
+
+def append_cuts(a_buf, rhs_buf, count, rows, rhs, add,
+                hash_state=None, cand_hashes=None):
     """Masked append of candidate cuts into the per-lane buffers.
 
     a_buf (B, R, n) f32, rhs_buf (B, R), count (B,) int32; rows (B, m, n),
-    rhs (B, m), add (B, m) bool. Overflowing cuts are dropped. Returns
-    (a_buf, rhs_buf, count, n_added (B,)).
+    rhs (B, m), add (B, m) bool. Overflowing cuts are dropped.
+
+    When ``hash_state=(h1_buf, h2_buf)`` and ``cand_hashes=(h1c, h2c)`` are
+    given, candidates identical to an already-active cut are suppressed and
+    the appended cuts' hashes are recorded. This reproduces the exact-solver
+    invariant (a cut satisfied by an exact LP re-solve is never re-added,
+    so duplicates cannot occur — with a first-order solve, residual
+    violations of ~solver-tolerance would otherwise re-add the same cut
+    every round until the buffer bursts).
+
+    Returns (a_buf, rhs_buf, count, n_added, hash_state).
     """
     cap = a_buf.shape[1]
-    # target slot of each candidate (in row order), R for dropped
+    bsz = a_buf.shape[0]
+    if hash_state is not None:
+        h1_buf, h2_buf = hash_state
+        h1c, h2c = cand_hashes
+        slot = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
+        active = slot < count[:, None]
+        dup = jnp.any((h1c[:, :, None] == h1_buf[:, None, :]) &
+                      (h2c[:, :, None] == h2_buf[:, None, :]) &
+                      active[:, None, :], axis=-1)
+        add = add & ~dup
+    # target slot of each candidate (in row order), cap for dropped
     pos = count[:, None] + jnp.cumsum(add, axis=1) - add.astype(jnp.int32)
     pos = jnp.where(add & (pos < cap), pos, cap)
     a_buf = jax.vmap(lambda a, o, r: a.at[o].set(r, mode="drop"))(
         a_buf, pos, rows)
     rhs_buf = jax.vmap(lambda b, o, r: b.at[o].set(r, mode="drop"))(
         rhs_buf, pos, rhs)
+    if hash_state is not None:
+        h1_buf = jax.vmap(lambda b, o, r: b.at[o].set(r, mode="drop"))(
+            h1_buf, pos, h1c)
+        h2_buf = jax.vmap(lambda b, o, r: b.at[o].set(r, mode="drop"))(
+            h2_buf, pos, h2c)
+        hash_state = (h1_buf, h2_buf)
     n_added = jnp.sum(pos < cap, axis=1).astype(jnp.int32)
-    return a_buf, rhs_buf, count + n_added, n_added
+    return a_buf, rhs_buf, count + n_added, n_added, hash_state
 
 
 class _AdaptiveLPBase:
@@ -82,7 +126,8 @@ class _AdaptiveLPBase:
     use_gauss = False
 
     def __init__(self, h, max_rows: int, max_rounds: int, lp_iters: int,
-                 int_tol: float, cut_tol: float = 1e-4):
+                 int_tol: float, cut_tol: float = 1e-4,
+                 snap_tol: float = 0.02):
         h = np.asarray(h, dtype=np.uint8) % 2
         self._h = jnp.asarray(h)
         self._sup = jnp.asarray(h.astype(bool))
@@ -92,10 +137,12 @@ class _AdaptiveLPBase:
         self.lp_iters = int(lp_iters)
         self.int_tol = float(int_tol)
         self.cut_tol = float(cut_tol)
+        self.snap_tol = float(snap_tol)
         # capacity: the reference checks `rows < max_rows` BEFORE a round and
         # lets the final round overshoot (agc_alp.h:99-101), so pad capacity
         # by up to 2m extra cuts
         self.capacity = self.max_rows + 2 * self.m
+        self._hash_w = _hash_weights(self.n)
         self._decode = jax.jit(self._decode_impl)
 
     # subclass hook: support masks of the solution-adapted (eliminated) H,
@@ -114,14 +161,26 @@ class _AdaptiveLPBase:
         y0 = jnp.zeros((bsz, cap), jnp.float32)
         cnt0 = jnp.zeros((bsz,), jnp.int32)
         done0 = jnp.zeros((bsz,), bool)
+        h0 = (jnp.zeros((bsz, cap), jnp.int32), jnp.zeros((bsz, cap),
+                                                          jnp.int32))
+        w1, w2 = self._hash_w
 
         def body(state):
-            rnd, x, y, a_buf, rhs_buf, count, done = state
+            rnd, x, y, a_buf, rhs_buf, count, done, hstate = state
             eligible = ~done & (count < self.max_rows)
-            rows, rhs, add = alp_cut_candidates(self._sup, x, self.cut_tol)
+            # Snap near-integral coordinates to exactly 0/1 for cut *search*
+            # (LP state itself is untouched). The simplex the reference uses
+            # returns exact vertex solutions; a first-order solve leaves
+            # ~1e-2 noise on every coordinate, which accumulates across a
+            # wide cut row's support and masks genuinely violated cuts —
+            # especially AGC's dense Gaussian-eliminated rows.
+            x_s = jnp.where(x < self.snap_tol, 0.0,
+                            jnp.where(x > 1.0 - self.snap_tol, 1.0, x))
+            rows, rhs, add = alp_cut_candidates(self._sup, x_s, self.cut_tol)
             add_h = add & eligible[:, None]
-            a_buf, rhs_buf, count, n_h = append_cuts(
-                a_buf, rhs_buf, count, rows, rhs, add_h)
+            a_buf, rhs_buf, count, n_h, hstate = append_cuts(
+                a_buf, rhs_buf, count, rows, rhs, add_h,
+                hash_state=hstate, cand_hashes=cut_hashes(rows, w1, w2))
             if self.use_gauss:
                 # short-circuit semantics (agc_alp.h:99-101): gauss cuts only
                 # for lanes that added no H cuts this round; skip the whole
@@ -129,20 +188,22 @@ class _AdaptiveLPBase:
                 need = eligible & (n_h == 0)
 
                 def with_gauss(args):
-                    a_b, r_b, cnt = args
-                    g_sup = self._gauss_sup(x)
+                    a_b, r_b, cnt, hs = args
+                    g_sup = self._gauss_sup(x_s)
                     g_rows, g_rhs, g_add = alp_cut_candidates(
-                        g_sup, x, self.cut_tol)
+                        g_sup, x_s, self.cut_tol)
                     g_add = g_add & need[:, None]
-                    return append_cuts(a_b, r_b, cnt, g_rows, g_rhs, g_add)
+                    return append_cuts(a_b, r_b, cnt, g_rows, g_rhs, g_add,
+                                       hash_state=hs,
+                                       cand_hashes=cut_hashes(g_rows, w1, w2))
 
                 def without_gauss(args):
-                    a_b, r_b, cnt = args
-                    return a_b, r_b, cnt, jnp.zeros_like(n_h)
+                    a_b, r_b, cnt, hs = args
+                    return a_b, r_b, cnt, jnp.zeros_like(n_h), hs
 
-                a_buf, rhs_buf, count, n_g = jax.lax.cond(
+                a_buf, rhs_buf, count, n_g, hstate = jax.lax.cond(
                     jnp.any(need), with_gauss, without_gauss,
-                    (a_buf, rhs_buf, count))
+                    (a_buf, rhs_buf, count, hstate))
                 n_added = n_h + n_g
             else:
                 n_added = n_h
@@ -152,15 +213,16 @@ class _AdaptiveLPBase:
             keep = done[:, None]
             x = jnp.where(keep, x, x_new)
             y = jnp.where(keep, y, y_new)
-            return rnd + 1, x, y, a_buf, rhs_buf, count, done
+            return rnd + 1, x, y, a_buf, rhs_buf, count, done, hstate
 
         def cond(state):
-            rnd, *_, done = state
+            rnd = state[0]
+            done = state[6]
             return (rnd < self.max_rounds) & ~jnp.all(done)
 
-        state = (jnp.int32(0), x0, y0, a0, r0, cnt0, done0)
-        rnd, x, y, a_buf, rhs_buf, count, done = jax.lax.while_loop(
-            cond, body, state)
+        state = (jnp.int32(0), x0, y0, a0, r0, cnt0, done0, h0)
+        (rnd, x, y, a_buf, rhs_buf, count, done,
+         _) = jax.lax.while_loop(cond, body, state)
 
         bits = (x > 0.5).astype(jnp.uint8)
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),

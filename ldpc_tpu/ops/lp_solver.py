@@ -26,25 +26,31 @@ import jax.numpy as jnp
 __all__ = ["pdhg_box_lp", "pdhg_steps"]
 
 
-def pdhg_steps(a_rows, safety: float = 0.9):
-    """Per-lane (tau, sigma) from ||A||_1 * ||A||_inf. a_rows: (B, R, n)."""
+def pdhg_steps(a_rows, safety: float = 0.95):
+    """Diagonal (Pock-Chambolle alpha=1) preconditioners, per lane.
+
+    tau_j = 1 / sum_i |A_ij|   (primal, (B, n));
+    sigma_i = 1 / sum_j |A_ij| (dual, (B, R)).
+    Provably convergent for any constraint pattern and — unlike the scalar
+    ||A||_1*||A||_inf bound — does not collapse when a few dense rows
+    (AGC-ALP's Gaussian-eliminated cuts, ~n/2 nonzeros) join the buffer.
+    Empty columns/rows get tau=1 / sigma=0 (a zero row's dual never moves).
+    """
     abs_a = jnp.abs(a_rows)
-    row_sum = jnp.sum(abs_a, axis=-1)                  # (B, R)  ||.||_inf cand
-    col_sum = jnp.sum(abs_a, axis=-2)                  # (B, n)  ||.||_1 cand
-    l2sq = jnp.maximum(jnp.max(row_sum, axis=-1) *
-                       jnp.max(col_sum, axis=-1), 1.0)  # (B,)
-    step = safety / jnp.sqrt(l2sq)
-    return step, step
+    row_sum = jnp.sum(abs_a, axis=-1)                  # (B, R)
+    col_sum = jnp.sum(abs_a, axis=-2)                  # (B, n)
+    tau = safety / jnp.maximum(col_sum, 1.0)
+    sigma = jnp.where(row_sum > 0, safety / jnp.maximum(row_sum, 1e-6), 0.0)
+    return tau, sigma
 
 
-def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.9):
-    """Run `iters` PDHG steps. Shapes: c,x0 (B,n); a_rows (B,R,n); b,y0 (B,R).
+def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95):
+    """Run `iters` preconditioned PDHG steps.
+    Shapes: c,x0 (B,n); a_rows (B,R,n); b,y0 (B,R).
 
     Returns (x, y). Warm-startable: pass previous (x, y).
     """
     tau, sigma = pdhg_steps(a_rows, safety)
-    tau = tau[:, None]
-    sigma_r = sigma[:, None]
 
     def body(_, xy):
         x, y = xy
@@ -53,27 +59,29 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.9):
         x_new = jnp.clip(x - tau * (c + aty), 0.0, 1.0)
         ax = jnp.einsum("brn,bn->br", a_rows, 2.0 * x_new - x,
                         preferred_element_type=jnp.float32)
-        y_new = jnp.maximum(0.0, y + sigma_r * (ax - b))
+        y_new = jnp.maximum(0.0, y + sigma * (ax - b))
         return x_new, y_new
 
     return jax.lax.fori_loop(0, iters, body, (x0, y0))
 
 
-def pdhg_box_lp_shared(c, a, b, x0, y0, iters: int, safety: float = 0.9):
-    """PDHG with a constraint matrix shared across the batch (FullLP case).
+def pdhg_box_lp_shared(c, a, b, x0, y0, iters: int, safety: float = 0.95):
+    """Preconditioned PDHG with a constraint matrix shared across the batch
+    (FullLP case).
 
     c,x0: (B, n); a: (R, n) static; b: (R,); y0: (B, R). The products become
     true GEMMs on the MXU.
     """
     abs_a = jnp.abs(a)
-    l2sq = jnp.maximum(jnp.max(jnp.sum(abs_a, -1)) *
-                       jnp.max(jnp.sum(abs_a, -2)), 1.0)
-    step = safety / jnp.sqrt(l2sq)
+    tau = safety / jnp.maximum(jnp.sum(abs_a, axis=0), 1.0)       # (n,)
+    row_sum = jnp.sum(abs_a, axis=1)                              # (R,)
+    sigma = jnp.where(row_sum > 0, safety / jnp.maximum(row_sum, 1e-6), 0.0)
 
     def body(_, xy):
         x, y = xy
-        x_new = jnp.clip(x - step * (c + y @ a), 0.0, 1.0)
-        y_new = jnp.maximum(0.0, y + step * ((2.0 * x_new - x) @ a.T - b[None]))
+        x_new = jnp.clip(x - tau[None] * (c + y @ a), 0.0, 1.0)
+        y_new = jnp.maximum(0.0, y + sigma[None] *
+                            ((2.0 * x_new - x) @ a.T - b[None]))
         return x_new, y_new
 
     return jax.lax.fori_loop(0, iters, body, (x0, y0))
