@@ -94,6 +94,7 @@ def append_cuts(a_buf, rhs_buf, count, rows, rhs, add,
     """
     cap = a_buf.shape[1]
     bsz = a_buf.shape[0]
+    n_dup = jnp.zeros((bsz,), jnp.int32)
     if hash_state is not None:
         h1_buf, h2_buf = hash_state
         h1c, h2c = cand_hashes
@@ -102,6 +103,7 @@ def append_cuts(a_buf, rhs_buf, count, rows, rhs, add,
         dup = jnp.any((h1c[:, :, None] == h1_buf[:, None, :]) &
                       (h2c[:, :, None] == h2_buf[:, None, :]) &
                       active[:, None, :], axis=-1)
+        n_dup = jnp.sum(add & dup, axis=1).astype(jnp.int32)
         add = add & ~dup
     # target slot of each candidate (in row order), cap for dropped
     pos = count[:, None] + jnp.cumsum(add, axis=1) - add.astype(jnp.int32)
@@ -117,7 +119,7 @@ def append_cuts(a_buf, rhs_buf, count, rows, rhs, add,
             h2_buf, pos, h2c)
         hash_state = (h1_buf, h2_buf)
     n_added = jnp.sum(pos < cap, axis=1).astype(jnp.int32)
-    return a_buf, rhs_buf, count + n_added, n_added, hash_state
+    return a_buf, rhs_buf, count + n_added, n_added, n_dup, hash_state
 
 
 class _AdaptiveLPBase:
@@ -126,8 +128,8 @@ class _AdaptiveLPBase:
     use_gauss = False
 
     def __init__(self, h, max_rows: int, max_rounds: int, lp_iters: int,
-                 int_tol: float, cut_tol: float = 1e-4,
-                 snap_tol: float = 0.02):
+                 int_tol: float, cut_tol: float = 1e-3,
+                 snap_tol: float = 0.02, perturb: float = 1e-3):
         h = np.asarray(h, dtype=np.uint8) % 2
         self._h = jnp.asarray(h)
         self._sup = jnp.asarray(h.astype(bool))
@@ -138,6 +140,19 @@ class _AdaptiveLPBase:
         self.int_tol = float(int_tol)
         self.cut_tol = float(cut_tol)
         self.snap_tol = float(snap_tol)
+        self.perturb = float(perturb)
+        # adaptive inner-solve budget: chunks of lp_iters up to lp_max_iters,
+        # stopping when the worst batch violation is below lp_tol. The cut
+        # threshold must exceed the solve tolerance (cut_tol > lp_tol), else
+        # residual violations on existing cuts read as fresh duplicates and
+        # lanes never terminate.
+        self.lp_tol = 3e-4
+        self.lp_max_iters = max(8 * self.lp_iters, 4000)
+        assert self.cut_tol > self.lp_tol, "cut_tol must exceed lp_tol"
+        # static generic direction for the objective perturbation below
+        rng = np.random.default_rng(0xC0FFEE)
+        self._pert_dir = jnp.asarray(
+            rng.uniform(-1.0, 1.0, self.n).astype(np.float32))
         # capacity: the reference checks `rows < max_rows` BEFORE a round and
         # lets the final round overshoot (agc_alp.h:99-101), so pad capacity
         # by up to 2m extra cuts
@@ -154,6 +169,15 @@ class _AdaptiveLPBase:
         bsz = llrs.shape[0]
         c = jnp.asarray(llrs, jnp.float32)
         cap = self.capacity
+        # Generic objective perturbation (relative, ~0.1%): the simplex the
+        # reference uses always lands on a *vertex*; a first-order method
+        # converges to an interior point of the optimal face, where the
+        # odd-set cut search finds far fewer violated cuts (cuts separate
+        # vertices). A tiny generic tilt makes the optimum a unique vertex
+        # almost surely — the classic lexicographic-perturbation trick.
+        if self.perturb:
+            scale = jnp.mean(jnp.abs(c), axis=1, keepdims=True)
+            c = c + self.perturb * scale * self._pert_dir[None]
 
         x0 = (c < 0.0).astype(jnp.float32)    # exact box-LP optimum
         a0 = jnp.zeros((bsz, cap, self.n), jnp.float32)
@@ -178,7 +202,7 @@ class _AdaptiveLPBase:
                             jnp.where(x > 1.0 - self.snap_tol, 1.0, x))
             rows, rhs, add = alp_cut_candidates(self._sup, x_s, self.cut_tol)
             add_h = add & eligible[:, None]
-            a_buf, rhs_buf, count, n_h, hstate = append_cuts(
+            a_buf, rhs_buf, count, n_h, d_h, hstate = append_cuts(
                 a_buf, rhs_buf, count, rows, rhs, add_h,
                 hash_state=hstate, cand_hashes=cut_hashes(rows, w1, w2))
             if self.use_gauss:
@@ -199,17 +223,26 @@ class _AdaptiveLPBase:
 
                 def without_gauss(args):
                     a_b, r_b, cnt, hs = args
-                    return a_b, r_b, cnt, jnp.zeros_like(n_h), hs
+                    return (a_b, r_b, cnt, jnp.zeros_like(n_h),
+                            jnp.zeros_like(n_h), hs)
 
-                a_buf, rhs_buf, count, n_g, hstate = jax.lax.cond(
+                a_buf, rhs_buf, count, n_g, d_g, hstate = jax.lax.cond(
                     jnp.any(need), with_gauss, without_gauss,
                     (a_buf, rhs_buf, count, hstate))
                 n_added = n_h + n_g
+                n_dups = d_h + d_g
             else:
                 n_added = n_h
-            done = done | (n_added == 0)
+                n_dups = d_h
+            # a lane is finished when its cut search yields nothing at all;
+            # duplicate-only rounds mean the LP re-solve hasn't converged on
+            # the existing cuts yet (an exact solver can never re-violate an
+            # added cut) — keep polishing instead of terminating
+            done = done | ((n_added == 0) & (n_dups == 0))
             # re-solve for lanes that changed; frozen lanes keep their x, y
-            x_new, y_new = pdhg_box_lp(c, a_buf, rhs_buf, x, y, self.lp_iters)
+            x_new, y_new = pdhg_box_lp(c, a_buf, rhs_buf, x, y,
+                                       self.lp_max_iters, tol=self.lp_tol,
+                                       check_every=self.lp_iters)
             keep = done[:, None]
             x = jnp.where(keep, x, x_new)
             y = jnp.where(keep, y, y_new)
@@ -244,7 +277,7 @@ class ALPDecoder(_AdaptiveLPBase):
 
     def __init__(self, h, max_rounds: int = 64, lp_iters: int = 600,
                  int_tol: float = 1e-2, max_rows: int = 512,
-                 cut_tol: float = 1e-4):
+                 cut_tol: float = 1e-3):
         super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,
                          lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol)
         self.name = "ALP"

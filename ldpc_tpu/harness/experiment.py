@@ -31,7 +31,8 @@ from ..channel.awgn import bpsk, llr_variance
 from ..codes.gf2 import is_codeword
 from ..decoders.base import Decoder
 
-__all__ = ["ExperimentResult", "run_experiment", "make_experiment_step"]
+__all__ = ["ExperimentResult", "run_experiment", "make_experiment_step",
+           "run_multi_snr_experiment"]
 
 
 @dataclass
@@ -120,6 +121,122 @@ def make_experiment_step(decoder: Decoder, h, snr: float, base_key,
         }
 
     return jax.jit(step)
+
+
+def make_multi_snr_step(decoder: Decoder, h, snrs, base_key):
+    """One-batch experiment step with a *per-lane* SNR — the SNR sweep axis
+    fused into the decode batch (SURVEY.md §2, parallelism item 2).
+
+    Decoders consume only LLRs, so lanes at different SNR points coexist in
+    one decode program; counters are reduced per SNR with a masked sum.
+    step(codewords (B, n), trial_idx (B,), snr_id (B,)) ->
+    dict of (S,) arrays.
+    """
+    h_dev = jnp.asarray(np.asarray(h), jnp.uint8)
+    snrs_v = jnp.asarray(np.asarray(snrs, np.float32))
+    s_count = len(np.asarray(snrs))
+    sigmas = jnp.sqrt(jnp.power(10.0, -snrs_v / 10.0) / 2.0)
+    inv_vars = 2.0 / (sigmas * sigmas)
+
+    def step(codewords, trial_idx, snr_id):
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(trial_idx)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (decoder.n,), jnp.float32))(keys)
+        sig = sigmas[snr_id][:, None]
+        y = bpsk(codewords) + sig * noise
+        llrs = inv_vars[snr_id][:, None] * y
+        res = decoder.decode_batch(llrs)
+        valid = res.success & is_codeword(h_dev, res.bits)
+        match = jnp.all(res.bits == codewords, axis=-1)
+        correct = valid & match
+        pseudo = valid & ~match
+        hd = jnp.sum(jnp.where(codewords == 0, y <= 0, y > 0), axis=-1)
+        onehot = jax.nn.one_hot(snr_id, s_count, dtype=jnp.int32)  # (B, S)
+
+        def seg(x):
+            return jnp.sum(onehot * x[:, None].astype(jnp.int32), axis=0)
+
+        ones = jnp.ones_like(trial_idx)
+        return {
+            "total": seg(ones),
+            "correct": seg(correct),
+            "pseudo": seg(pseudo),
+            "sum_hamming": seg(hd),
+            "sum_hamming_ok": seg(jnp.where(correct, hd, 0)),
+            "sum_hamming_wrong": seg(jnp.where(correct, 0, hd)),
+            "sum_iterations": seg(res.iterations),
+        }
+
+    return jax.jit(step)
+
+
+def run_multi_snr_experiment(decoder: Decoder, h, codewords, snrs, key,
+                             batch_size: int = 2048, sharding=None,
+                             warmup: bool = True) -> list[ExperimentResult]:
+    """Run the whole SNR sweep as one fused trial stream.
+
+    The (snr, trial) grid is flattened, interleaved so every batch mixes SNR
+    points (keeps early-exit iteration counts balanced per batch), and
+    decoded in fixed-size batches; per-SNR counters come back from a masked
+    reduction. Returns one ExperimentResult per SNR (same order as ``snrs``),
+    each with the sweep's aggregate wall-clock apportioned by trial count.
+    """
+    cw = np.asarray(codewords, dtype=np.uint8)
+    t_total, n = cw.shape
+    snrs = list(snrs)
+    s_count = len(snrs)
+    step = make_multi_snr_step(decoder, h, snrs, key)
+
+    # lane plan: (snr_id, trial_idx) for every pair, SNR-interleaved
+    snr_ids = np.tile(np.arange(s_count, dtype=np.int32), t_total)
+    trial_idx = np.repeat(np.arange(t_total, dtype=np.int32), s_count)
+    total_lanes = s_count * t_total
+
+    def place(*arrs):
+        out = []
+        for a in arrs:
+            d = jnp.asarray(a)
+            if sharding is not None and d.shape[0] % sharding.num_devices == 0:
+                sh = (sharding.batch_sharding if d.ndim > 1
+                      else sharding.index_sharding)
+                d = jax.device_put(d, sh)
+            out.append(d)
+        return out
+
+    starts = list(range(0, total_lanes, batch_size))
+    if warmup:
+        shapes = {min(batch_size, total_lanes - s) for s in starts}
+        for bsz in shapes:
+            out = step(*place(cw[trial_idx[:bsz]], trial_idx[:bsz],
+                              snr_ids[:bsz]))
+            jax.block_until_ready(out)
+
+    pending = []
+    t_start = time.perf_counter()
+    for s in starts:
+        e = min(s + batch_size, total_lanes)
+        sl = slice(s, e)
+        pending.append(step(*place(cw[trial_idx[sl]], trial_idx[sl],
+                                   snr_ids[sl])))
+    jax.block_until_ready(pending)
+    elapsed = time.perf_counter() - t_start
+
+    agg = {}
+    for counters in pending:
+        host = jax.device_get(counters)
+        for k, v in host.items():
+            agg[k] = agg.get(k, 0) + v.astype(np.int64)
+    results = []
+    for si in range(s_count):
+        results.append(ExperimentResult(
+            total=int(agg["total"][si]), correct=int(agg["correct"][si]),
+            pseudo=int(agg["pseudo"][si]),
+            sum_hamming=int(agg["sum_hamming"][si]),
+            sum_hamming_ok=int(agg["sum_hamming_ok"][si]),
+            sum_hamming_wrong=int(agg["sum_hamming_wrong"][si]),
+            sum_iterations=int(agg["sum_iterations"][si]),
+            time_sec=elapsed / s_count))
+    return results
 
 
 def run_experiment(decoder: Decoder, h, codewords, snr: float, key,

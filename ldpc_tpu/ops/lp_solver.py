@@ -44,15 +44,23 @@ def pdhg_steps(a_rows, safety: float = 0.95):
     return tau, sigma
 
 
-def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95):
-    """Run `iters` preconditioned PDHG steps.
+def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
+                tol: float | None = None, check_every: int = 200):
+    """Preconditioned PDHG steps, optionally tolerance-driven.
     Shapes: c,x0 (B,n); a_rows (B,R,n); b,y0 (B,R).
+
+    With ``tol`` set, runs in ``check_every``-step chunks until the worst
+    primal constraint violation across the batch falls below ``tol`` (or
+    ``iters`` is reached) — adaptive LP cut loops need near-feasible
+    solutions to avoid re-detecting the same cuts, and the iteration count
+    that achieves this grows with the active row count, so a fixed budget
+    either wastes time early or under-solves late.
 
     Returns (x, y). Warm-startable: pass previous (x, y).
     """
     tau, sigma = pdhg_steps(a_rows, safety)
 
-    def body(_, xy):
+    def step(xy):
         x, y = xy
         aty = jnp.einsum("brn,br->bn", a_rows, y,
                          preferred_element_type=jnp.float32)
@@ -62,7 +70,28 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95):
         y_new = jnp.maximum(0.0, y + sigma * (ax - b))
         return x_new, y_new
 
-    return jax.lax.fori_loop(0, iters, body, (x0, y0))
+    if tol is None:
+        return jax.lax.fori_loop(0, iters, lambda _, xy: step(xy), (x0, y0))
+
+    def max_violation(x):
+        ax = jnp.einsum("brn,bn->br", a_rows, x,
+                        preferred_element_type=jnp.float32)
+        return jnp.max(jnp.maximum(ax - b, 0.0))
+
+    # fori-of-cond-of-fori rather than nested while loops: a while_loop
+    # inside an outer while_loop (the decoders' cut-round loop) compiles
+    # pathologically slowly on the TPU toolchain; a fixed chunk count with a
+    # predicated body lowers cleanly and skips converged chunks at runtime.
+    n_chunks = -(-iters // check_every)
+
+    def chunk(_, xy):
+        def run(xy):
+            return jax.lax.fori_loop(0, check_every,
+                                     lambda _, s: step(s), xy)
+        x, y = xy
+        return jax.lax.cond(max_violation(x) > tol, run, lambda s: s, (x, y))
+
+    return jax.lax.fori_loop(0, n_chunks, chunk, (x0, y0))
 
 
 def pdhg_box_lp_shared(c, a, b, x0, y0, iters: int, safety: float = 0.95):
