@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codes.gf2 import is_codeword
-from ..ops.lp_solver import pdhg_box_lp
+from ..ops.lp_solver import pdhg_box_lp, pdhg_box_lp_fused
 from .base import DecodeResult
 
 __all__ = ["ALPDecoder", "alp_cut_candidates", "append_cuts"]
@@ -129,7 +129,8 @@ class _AdaptiveLPBase:
 
     def __init__(self, h, max_rows: int, max_rounds: int, lp_iters: int,
                  int_tol: float, cut_tol: float = 1e-3,
-                 snap_tol: float = 0.02, perturb: float = 1e-3):
+                 snap_tol: float = 0.02, perturb: float = 1e-3,
+                 lp_backend: str = "auto"):
         h = np.asarray(h, dtype=np.uint8) % 2
         self._h = jnp.asarray(h)
         self._sup = jnp.asarray(h.astype(bool))
@@ -155,8 +156,21 @@ class _AdaptiveLPBase:
             rng.uniform(-1.0, 1.0, self.n).astype(np.float32))
         # capacity: the reference checks `rows < max_rows` BEFORE a round and
         # lets the final round overshoot (agc_alp.h:99-101), so pad capacity
-        # by up to 2m extra cuts
-        self.capacity = self.max_rows + 2 * self.m
+        # by up to 2m extra cuts; rounded up to a 128 multiple so every
+        # PDHG row-slice (tiers below and the full buffer) is TPU-tileable
+        self.capacity = -(-(self.max_rows + 2 * self.m) // 128) * 128
+        # ladder of static PDHG row-slices (all multiples of 128 for the
+        # fused kernel); finer spacing where the observed active-cut
+        # distributions concentrate (ALP plateaus ~250-280 cuts on the
+        # 160x280 codes, AGC-ALP ~1100-1150)
+        self._tiers = (128, 256, 384, 512, 768, 1024, 1152, 1280)
+        # lp_backend: "auto" -> fused Pallas kernel on TPU, plain XLA
+        # elsewhere; "xla" forces XLA; "pallas-interpret" runs the kernel in
+        # interpreter mode (for differential tests off-TPU)
+        if lp_backend == "auto":
+            lp_backend = ("pallas" if jax.default_backend() == "tpu"
+                          else "xla")
+        self.lp_backend = lp_backend
         self._hash_w = _hash_weights(self.n)
         self._decode = jax.jit(self._decode_impl)
 
@@ -165,7 +179,7 @@ class _AdaptiveLPBase:
     def _gauss_sup(self, x):
         raise NotImplementedError
 
-    def _decode_impl(self, llrs) -> DecodeResult:
+    def _run_loop(self, llrs):
         bsz = llrs.shape[0]
         c = jnp.asarray(llrs, jnp.float32)
         cap = self.capacity
@@ -239,10 +253,37 @@ class _AdaptiveLPBase:
             # the existing cuts yet (an exact solver can never re-violate an
             # added cut) — keep polishing instead of terminating
             done = done | ((n_added == 0) & (n_dups == 0))
-            # re-solve for lanes that changed; frozen lanes keep their x, y
-            x_new, y_new = pdhg_box_lp(c, a_buf, rhs_buf, x, y,
-                                       self.lp_max_iters, tol=self.lp_tol,
-                                       check_every=self.lp_iters)
+            # re-solve for lanes that changed; frozen lanes keep their x, y.
+            # PDHG runs on the smallest static row-slice of the buffer that
+            # covers every lane's active cuts (lax.switch over geometric
+            # tiers): rows >= max(count) are identically zero and contribute
+            # nothing, but a full-capacity matvec would still stream them
+            # from HBM — at typical cut counts (p99 ~275 ALP / ~1150 AGC,
+            # <200 at high SNR) that is a 3-13x bandwidth waste.
+            r_max = jnp.max(jnp.where(done, 0, count))
+
+            def solve_tier(t):
+                def run(args):
+                    a_t, rhs_t, xx, yy = args
+                    if self.lp_backend == "xla" or t % 128 != 0:
+                        x_t, y_t = pdhg_box_lp(
+                            c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
+                            self.lp_max_iters, tol=self.lp_tol,
+                            check_every=self.lp_iters)
+                    else:
+                        x_t, y_t = pdhg_box_lp_fused(
+                            c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
+                            self.lp_max_iters, tol=self.lp_tol,
+                            check_every=self.lp_iters,
+                            interpret=self.lp_backend == "pallas-interpret")
+                    return x_t, yy.at[:, :t].set(y_t)
+                return run
+
+            tiers = [t for t in self._tiers if t < cap] + [cap]
+            tier_idx = sum((r_max > t).astype(jnp.int32) for t in tiers[:-1])
+            x_new, y_new = jax.lax.switch(
+                tier_idx, [solve_tier(t) for t in tiers],
+                (a_buf, rhs_buf, x, y))
             keep = done[:, None]
             x = jnp.where(keep, x, x_new)
             y = jnp.where(keep, y, y_new)
@@ -256,7 +297,11 @@ class _AdaptiveLPBase:
         state = (jnp.int32(0), x0, y0, a0, r0, cnt0, done0, h0)
         (rnd, x, y, a_buf, rhs_buf, count, done,
          _) = jax.lax.while_loop(cond, body, state)
+        return x, count, rnd, done
 
+    def _decode_impl(self, llrs) -> DecodeResult:
+        bsz = llrs.shape[0]
+        x, count, rnd, done = self._run_loop(llrs)
         bits = (x > 0.5).astype(jnp.uint8)
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
                            axis=-1)
@@ -266,6 +311,17 @@ class _AdaptiveLPBase:
 
     def decode_batch(self, llrs) -> DecodeResult:
         return self._decode(llrs)
+
+    def stats(self, llrs):
+        """Cut-loop telemetry for tuning: per-lane final active-cut count,
+        rounds used (batch-wide), integrality, per-lane done flag."""
+        if not hasattr(self, "_run_loop_jit"):
+            self._run_loop_jit = jax.jit(self._run_loop)
+        x, count, rnd, done = self._run_loop_jit(llrs)
+        integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
+                           axis=-1)
+        return {"count": count, "rounds": rnd, "integral": integral,
+                "done": done}
 
 
 class ALPDecoder(_AdaptiveLPBase):
@@ -277,7 +333,8 @@ class ALPDecoder(_AdaptiveLPBase):
 
     def __init__(self, h, max_rounds: int = 64, lp_iters: int = 600,
                  int_tol: float = 1e-2, max_rows: int = 512,
-                 cut_tol: float = 1e-3):
+                 cut_tol: float = 1e-3, lp_backend: str = "auto"):
         super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,
-                         lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol)
+                         lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol,
+                         lp_backend=lp_backend)
         self.name = "ALP"

@@ -94,6 +94,34 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     return jax.lax.fori_loop(0, n_chunks, chunk, (x0, y0))
 
 
+def pdhg_box_lp_fused(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
+                      tol: float = 1e-4, check_every: int = 200,
+                      interpret: bool = False):
+    """Tolerance-driven PDHG via the fused Pallas chunk kernel
+    (:mod:`ldpc_tpu.ops.pallas.pdhg_kernel`): each chunk runs
+    ``check_every`` iterations with the lane's constraint slice resident in
+    VMEM and returns the per-lane max primal violation, so the outer
+    tolerance loop costs no extra matvec. Requires a_rows.shape[1] to be a
+    multiple of 128. Same semantics as ``pdhg_box_lp(tol=...)``."""
+    from .pallas.pdhg_kernel import pdhg_chunk_pallas
+
+    tau, sigma = pdhg_steps(a_rows, safety)
+    n_chunks = -(-iters // check_every)
+
+    def chunk(_, carry):
+        def run(carry):
+            x, y, _ = carry
+            xo, yo, v = pdhg_chunk_pallas(c, a_rows, b, tau, sigma, x, y,
+                                          iters=check_every,
+                                          interpret=interpret)
+            return xo, yo, jnp.max(v)
+        return jax.lax.cond(carry[2] > tol, run, lambda s: s, carry)
+
+    x, y, _ = jax.lax.fori_loop(
+        0, n_chunks, chunk, (x0, y0, jnp.float32(jnp.inf)))
+    return x, y
+
+
 def pdhg_box_lp_shared(c, a, b, x0, y0, iters: int, safety: float = 0.95):
     """Preconditioned PDHG with a constraint matrix shared across the batch
     (FullLP case).
