@@ -28,7 +28,15 @@ class DecoderConfig:
     agc_max_rows: int = 1000             # main.cpp:38
     lp_max_rounds: int = 64              # ALP cut rounds cap (while-loop guard)
     lp_iters: int = 600                  # PDHG iterations per LP solve round
-    lp_int_tol: float = 1e-3             # integrality certificate tolerance
+    # Integrality-certificate tolerance. The reference tests coordinates
+    # against EPS=1e-8 after an *exact* dual-simplex solve (full_lp.h:44-59);
+    # a first-order PDHG solve leaves up to ~1.5e-2 coordinate noise on true
+    # vertex optima, while genuinely fractional LP optima (pseudocodewords)
+    # have coordinates >= 1/3 away from integrality — measured failure
+    # deviations cluster at <=0.015 vs >=0.44. 3e-2 sits in that gap; a
+    # tighter value (1e-3) mis-rejects true integral optima and inflates
+    # FER ~3x at high SNR.
+    lp_int_tol: float = 3e-2
 
 
 @dataclass

@@ -31,7 +31,7 @@ __all__ = ["FullLPDecoder"]
 
 
 class FullLPDecoder:
-    def __init__(self, h, iters: int = 2000, int_tol: float = 1e-2,
+    def __init__(self, h, iters: int = 2000, int_tol: float = 3e-2,
                  structure: ADMMStructure | None = None):
         self.name = "FullLP"
         h = np.asarray(h, dtype=np.uint8) % 2
