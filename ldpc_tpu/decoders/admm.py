@@ -212,7 +212,7 @@ def decode_qp_admm(tables: dict, n: int, llrs, alpha, mu,
         return jnp.sum(g * con_coef[None], axis=-1)
 
     def body(state):
-        it, v, z, yl, done = state
+        it, v, z, yl, done, done_it = state
         t = yl + mu * (z - b_vec[None])
         bq = q + alpha / 2.0 + gather_con(t)
         v_new = jnp.clip(bq * inv_coef[None], 0.0, 1.0)
@@ -224,21 +224,23 @@ def decode_qp_admm(tables: dict, n: int, llrs, alpha, mu,
         v = jnp.where(keep, v, v_new)
         z = jnp.where(keep, z, z_new)
         yl = jnp.where(keep, yl, y_new)
-        done = done | (sum2 < eps_stop)
-        return it + 1, v, z, yl, done
+        now_done = ~done & (sum2 < eps_stop)
+        done_it = jnp.where(now_done, it + 1, done_it)  # per-lane count
+        done = done | now_done
+        return it + 1, v, z, yl, done, done_it
 
     def cond(state):
-        it, _, _, _, done = state
+        it, _, _, _, done, _ = state
         return (it < max_iter) & ~jnp.all(done)
 
-    init = (jnp.int32(0), v0, z0, y0, jnp.zeros((bsz,), bool))
-    it, v, _, _, done = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), v0, z0, y0, jnp.zeros((bsz,), bool),
+            jnp.full((bsz,), max_iter, jnp.int32))
+    it, v, _, _, done, done_it = jax.lax.while_loop(cond, body, init)
 
     bits = (v[:, :n] > 0.5).astype(jnp.uint8)
     bits = jnp.where(feasible, bits, 0)
     success = jnp.full((bsz,), True) & feasible     # qp_admm.h:166
-    iters = jnp.where(done, it, max_iter).astype(jnp.int32)
-    return DecodeResult(bits=bits, success=success, iterations=iters)
+    return DecodeResult(bits=bits, success=success, iterations=done_it)
 
 
 class QPADMMDecoder:

@@ -160,10 +160,15 @@ class _AdaptiveLPBase:
         # PDHG row-slice (tiers below and the full buffer) is TPU-tileable
         self.capacity = -(-(self.max_rows + 2 * self.m) // 128) * 128
         # ladder of static PDHG row-slices (all multiples of 128 for the
-        # fused kernel); finer spacing where the observed active-cut
-        # distributions concentrate (ALP plateaus ~250-280 cuts on the
-        # 160x280 codes, AGC-ALP ~1100-1150)
-        self._tiers = (128, 256, 384, 512, 768, 1024, 1152, 1280)
+        # fused kernel), derived from the capacity rather than hardcoded to
+        # one code's observed cut counts: fine 128-steps while buffers are
+        # small (every lane starts there and most cut activity happens in
+        # the first few hundred rows), 256-steps beyond 512 where the
+        # marginal matvec cost per wasted row is amortized by the rarity of
+        # lanes that deep. Works for any (m, n, max_rows).
+        fine = list(range(128, min(512, self.capacity) + 1, 128))
+        coarse = list(range(768, self.capacity, 256))
+        self._tiers = tuple(t for t in fine + coarse if t < self.capacity)
         # lp_backend: "auto" -> fused Pallas kernel on TPU, plain XLA
         # elsewhere; "xla" forces XLA; "pallas-interpret" runs the kernel in
         # interpreter mode (for differential tests off-TPU)
@@ -261,20 +266,21 @@ class _AdaptiveLPBase:
             # from HBM — at typical cut counts (p99 ~275 ALP / ~1150 AGC,
             # <200 at high SNR) that is a 3-13x bandwidth waste.
             r_max = jnp.max(jnp.where(done, 0, count))
+            act = ~done
 
             def solve_tier(t):
                 def run(args):
-                    a_t, rhs_t, xx, yy = args
+                    a_t, rhs_t, xx, yy, act = args
                     if self.lp_backend == "xla" or t % 128 != 0:
                         x_t, y_t = pdhg_box_lp(
                             c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
                             self.lp_max_iters, tol=self.lp_tol,
-                            check_every=self.lp_iters)
+                            check_every=self.lp_iters, active=act)
                     else:
                         x_t, y_t = pdhg_box_lp_fused(
                             c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
                             self.lp_max_iters, tol=self.lp_tol,
-                            check_every=self.lp_iters,
+                            check_every=self.lp_iters, active=act,
                             interpret=self.lp_backend == "pallas-interpret")
                     return x_t, yy.at[:, :t].set(y_t)
                 return run
@@ -283,7 +289,7 @@ class _AdaptiveLPBase:
             tier_idx = sum((r_max > t).astype(jnp.int32) for t in tiers[:-1])
             x_new, y_new = jax.lax.switch(
                 tier_idx, [solve_tier(t) for t in tiers],
-                (a_buf, rhs_buf, x, y))
+                (a_buf, rhs_buf, x, y, act))
             keep = done[:, None]
             x = jnp.where(keep, x, x_new)
             y = jnp.where(keep, y, y_new)

@@ -45,7 +45,8 @@ def pdhg_steps(a_rows, safety: float = 0.95):
 
 
 def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
-                tol: float | None = None, check_every: int = 200):
+                tol: float | None = None, check_every: int = 200,
+                active=None):
     """Preconditioned PDHG steps, optionally tolerance-driven.
     Shapes: c,x0 (B,n); a_rows (B,R,n); b,y0 (B,R).
 
@@ -54,7 +55,9 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     ``iters`` is reached) — adaptive LP cut loops need near-feasible
     solutions to avoid re-detecting the same cuts, and the iteration count
     that achieves this grows with the active row count, so a fixed budget
-    either wastes time early or under-solves late.
+    either wastes time early or under-solves late. ``active``: optional
+    (B,) bool; inactive lanes are excluded from the violation check (their
+    x/y still step — callers freeze them by discarding the outputs).
 
     Returns (x, y). Warm-startable: pass previous (x, y).
     """
@@ -76,7 +79,10 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     def max_violation(x):
         ax = jnp.einsum("brn,bn->br", a_rows, x,
                         preferred_element_type=jnp.float32)
-        return jnp.max(jnp.maximum(ax - b, 0.0))
+        v = jnp.max(jnp.maximum(ax - b, 0.0), axis=-1)
+        if active is not None:
+            v = jnp.where(active, v, 0.0)
+        return jnp.max(v)
 
     # fori-of-cond-of-fori rather than nested while loops: a while_loop
     # inside an outer while_loop (the decoders' cut-round loop) compiles
@@ -96,13 +102,16 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
 
 def pdhg_box_lp_fused(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
                       tol: float = 1e-4, check_every: int = 200,
-                      interpret: bool = False):
+                      interpret: bool = False, active=None):
     """Tolerance-driven PDHG via the fused Pallas chunk kernel
     (:mod:`ldpc_tpu.ops.pallas.pdhg_kernel`): each chunk runs
     ``check_every`` iterations with the lane's constraint slice resident in
     VMEM and returns the per-lane max primal violation, so the outer
     tolerance loop costs no extra matvec. Requires a_rows.shape[1] to be a
-    multiple of 128. Same semantics as ``pdhg_box_lp(tol=...)``."""
+    multiple of 128. Same semantics as ``pdhg_box_lp(tol=...)``.
+
+    ``active``: optional (B,) bool — groups of inactive lanes skip each
+    chunk inside the kernel and are excluded from the stop criterion."""
     from .pallas.pdhg_kernel import pdhg_chunk_pallas
 
     tau, sigma = pdhg_steps(a_rows, safety)
@@ -112,8 +121,10 @@ def pdhg_box_lp_fused(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
         def run(carry):
             x, y, _ = carry
             xo, yo, v = pdhg_chunk_pallas(c, a_rows, b, tau, sigma, x, y,
-                                          iters=check_every,
+                                          iters=check_every, active=active,
                                           interpret=interpret)
+            if active is not None:
+                v = jnp.where(active, v, 0.0)
             return xo, yo, jnp.max(v)
         return jax.lax.cond(carry[2] > tol, run, lambda s: s, carry)
 

@@ -1,23 +1,34 @@
-"""Fused Pallas TPU kernel: a whole PDHG chunk with the constraint slice
-resident in VMEM.
+"""Fused Pallas TPU kernel: a whole PDHG chunk with the constraint slices
+resident in VMEM, multiple lanes per grid program.
 
 The XLA PDHG path (``ops.lp_solver.pdhg_box_lp``) re-streams the per-lane
 constraint buffer ``A`` (B, T, n) from HBM twice per iteration (A^T y and
 A x matvecs) — at typical ALP/AGC-ALP sizes that is ~150-350 MB of HBM
 traffic *per iteration*, and the solve runs hundreds of iterations per cut
-round. One lane's active slice is however tiny (<= 1152 x 384 f32 = 1.8 MB),
+round. One lane's active slice is however tiny (<= 1408 x 384 f32 = 2.2 MB),
 far under the ~16 MB/core VMEM budget.
 
-This kernel flips the loop order: grid over lanes, one program per lane; the
-lane's A slice is DMA'd into VMEM once (Pallas double-buffers the next
-lane's slice behind the current lane's compute) and the entire
-``iters``-step PDHG recursion runs on-chip:
+This kernel flips the loop order: grid over lane *groups* of G lanes; the
+group's A slices are DMA'd into VMEM once (Pallas double-buffers the next
+group behind the current group's compute) and the entire ``iters``-step PDHG
+recursion runs on-chip:
 
     x <- clip_[0,1](x - tau * (c + A^T y))
     y <- max(0, y + sigma * (A (2x' - x) - b))
 
-After the loop the kernel also emits the lane's max primal violation
-``max(A x - b, 0)`` so the caller's tolerance loop needs no extra matvec.
+Grouping G lanes per program is the key MXU-latency fix: one lane's matvec is
+a rank-1 matmul — (1, T) @ (T, n) — whose issue latency dominates its
+(tiny) FLOP count, so a single-lane program leaves the MXU idle between
+dependent iterations. G lanes give 2G *independent* rank-1 matmuls per
+iteration that pipeline through the systolic array back-to-back (measured
+~4-6x at T<=512 on v5e). G is chosen per row-tier so the group's slices fit
+the VMEM budget alongside double buffering.
+
+After the loop the kernel emits each lane's max primal violation
+``max(A x - b, 0)`` so the caller's tolerance loop needs no extra matvec,
+and an ``active`` group mask lets converged/frozen lane groups skip the
+entire chunk (their DMA still streams, but the 2G*iters matmuls do not run —
+in the ALP cut loops most lanes finish rounds before the stragglers).
 
 Shapes are padded to TPU tiles by the wrapper: n -> multiple of 128 (zero
 columns are inert: tau column-sums are 0 there, x stays at its 0 init), and
@@ -35,46 +46,88 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pdhg_chunk_pallas"]
+__all__ = ["pdhg_chunk_pallas", "pick_group_size"]
+
+# VMEM budget for one group's A slices (bytes); with Pallas double-buffering
+# the next group's DMA, peak A residency is ~2x this. 6 MB leaves ~4 MB for
+# vectors/accumulators out of the ~16 MB/core on v5e.
+_VMEM_A_BUDGET = 6 * 1024 * 1024
 
 
-def _kernel(c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
-            xo_ref, yo_ref, viol_ref, *, iters: int):
-    a = a_ref[0]              # (T, n_pad), VMEM-resident for the whole chunk
-    c = c_ref[0]              # (1, n_pad)
-    tau = tau_ref[0]          # (1, n_pad)
-    b = b_ref[0]              # (1, T)
-    sigma = sigma_ref[0]      # (1, T)
-
-    def matvec_at_y(y):       # (1, T) @ (T, n) -> (1, n)
-        return jax.lax.dot_general(
-            y, a, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    def matvec_ax(x):         # (1, n) @ (T, n)^T -> (1, T)
-        return jax.lax.dot_general(
-            x, a, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    def body(_, carry):
-        x, y = carry
-        x_new = jnp.clip(x - tau * (c + matvec_at_y(y)), 0.0, 1.0)
-        y_new = jnp.maximum(0.0, y + sigma * (matvec_ax(2.0 * x_new - x) - b))
-        return x_new, y_new
-
-    x, y = jax.lax.fori_loop(0, iters, body, (x_ref[0], y_ref[0]))
-    xo_ref[0] = x
-    yo_ref[0] = y
-    viol_ref[0, 0, 0] = jnp.max(jnp.maximum(matvec_ax(x) - b, 0.0))
+def pick_group_size(bsz: int, t_rows: int, n_pad: int,
+                    max_group: int = 8) -> int:
+    """Largest G in {8,4,2,1} dividing bsz with G*T*n_pad*4 <= budget."""
+    for g in (8, 4, 2, 1):
+        if g > max_group:
+            continue
+        if bsz % g == 0 and g * t_rows * n_pad * 4 <= _VMEM_A_BUDGET:
+            return g
+    return 1
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
+            xo_ref, yo_ref, viol_ref, *, iters: int, group: int):
+    g_sz = group
+
+    def lane_viol(x_g, a_g, b_g):
+        ax = jax.lax.dot_general(x_g, a_g, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return jnp.max(jnp.maximum(ax - b_g, 0.0))
+
+    @pl.when(act_ref[0, 0, 0] == 0)
+    def _skip():
+        xo_ref[...] = x_ref[...]
+        yo_ref[...] = y_ref[...]
+        for g in range(g_sz):
+            viol_ref[0, 0, g] = 0.0
+
+    @pl.when(act_ref[0, 0, 0] != 0)
+    def _run():
+        c = c_ref[0]              # (G, n_pad)
+        tau = tau_ref[0]          # (G, n_pad)
+        b = b_ref[0]              # (G, T)
+        sigma = sigma_ref[0]      # (G, T)
+
+        def body(_, carry):
+            xs, ys = carry
+            new_xs, new_ys = [], []
+            for g in range(g_sz):
+                a_g = a_ref[0, g]                     # (T, n_pad) VMEM
+                x_g, y_g = xs[g], ys[g]               # (1, n), (1, T)
+                aty = jax.lax.dot_general(
+                    y_g, a_g, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                x_new = jnp.clip(
+                    x_g - tau[g:g + 1] * (c[g:g + 1] + aty), 0.0, 1.0)
+                ax = jax.lax.dot_general(
+                    2.0 * x_new - x_g, a_g, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y_new = jnp.maximum(
+                    0.0, y_g + sigma[g:g + 1] * (ax - b[g:g + 1]))
+                new_xs.append(x_new)
+                new_ys.append(y_new)
+            return tuple(new_xs), tuple(new_ys)
+
+        xs0 = tuple(x_ref[0, g:g + 1, :] for g in range(g_sz))
+        ys0 = tuple(y_ref[0, g:g + 1, :] for g in range(g_sz))
+        xs, ys = jax.lax.fori_loop(0, iters, body, (xs0, ys0))
+        for g in range(g_sz):
+            xo_ref[0, g:g + 1, :] = xs[g]
+            yo_ref[0, g:g + 1, :] = ys[g]
+            viol_ref[0, 0, g] = lane_viol(xs[g], a_ref[0, g], b[g:g + 1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "interpret", "max_group"))
 def pdhg_chunk_pallas(c, a, b, tau, sigma, x, y, *, iters: int,
-                      interpret: bool = False):
+                      active=None, interpret: bool = False,
+                      max_group: int = 8):
     """Run ``iters`` PDHG steps per lane with A VMEM-resident.
 
     c, tau, x: (B, n); a: (B, T, n); b, sigma, y: (B, T). T must be a
-    multiple of 128; n is padded here. Returns (x', y', viol (B,)).
+    multiple of 128; n is padded here. ``active``: optional (B,) bool —
+    lane groups whose lanes are all inactive skip the chunk (their x/y pass
+    through, viol reads 0). Returns (x', y', viol (B,)).
     """
     bsz, t_rows, n = a.shape
     assert t_rows % 128 == 0, f"row slice {t_rows} not a multiple of 128"
@@ -86,27 +139,40 @@ def pdhg_chunk_pallas(c, a, b, tau, sigma, x, y, *, iters: int,
         x = jnp.pad(x, pad)
         a = jnp.pad(a, [(0, 0), (0, 0), (0, n_pad - n)])
 
-    # vectors carry a unit sublane axis — Mosaic requires the last two block
-    # dims to be (8k, 128k) or the full array dims, so (1, X) blocks of a
-    # (B, X) array are rejected while (1, 1, X) blocks of (B, 1, X) pass
-    c3, tau3, x3 = (v[:, None, :] for v in (c, tau, x))
-    b3, sigma3, y3 = (v[:, None, :] for v in (b, sigma, y))
+    g_sz = pick_group_size(bsz, t_rows, n_pad, max_group)
+    n_grp = bsz // g_sz
+    if active is None:
+        act = jnp.ones((n_grp, 1, 1), jnp.int32)
+    else:
+        act = jnp.any(active.reshape(n_grp, g_sz), axis=1
+                      ).astype(jnp.int32).reshape(n_grp, 1, 1)
 
-    lane = lambda i: (i, 0)                       # noqa: E731
-    lane3 = lambda i: (i, 0, 0)                   # noqa: E731
-    vec_n = pl.BlockSpec((1, 1, n_pad), lane3, memory_space=pltpu.VMEM)
-    vec_t = pl.BlockSpec((1, 1, t_rows), lane3, memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((1, t_rows, n_pad), lane3, memory_space=pltpu.VMEM)
+    # group the lane axis: (B, ...) -> (B//G, G, ...); each grid program owns
+    # one group. Vector blocks keep a full (G, X) trailing shape, so Mosaic's
+    # block-dim rule (last two dims tile-aligned or full) is satisfied.
+    c4, tau4, x4 = (v.reshape(n_grp, g_sz, n_pad) for v in (c, tau, x))
+    b4, sigma4, y4 = (v.reshape(n_grp, g_sz, t_rows) for v in (b, sigma, y))
+    a4 = a.reshape(n_grp, g_sz, t_rows, n_pad)
+
+    grp3 = lambda i: (i, 0, 0)                    # noqa: E731
+    grp4 = lambda i: (i, 0, 0, 0)                 # noqa: E731
+    vec_n = pl.BlockSpec((1, g_sz, n_pad), grp3, memory_space=pltpu.VMEM)
+    vec_t = pl.BlockSpec((1, g_sz, t_rows), grp3, memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((1, g_sz, t_rows, n_pad), grp4,
+                       memory_space=pltpu.VMEM)
+    act_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
 
     xo, yo, viol = pl.pallas_call(
-        functools.partial(_kernel, iters=iters),
-        grid=(bsz,),
-        in_specs=[vec_n, mat, vec_t, vec_n, vec_t, vec_n, vec_t],
+        functools.partial(_kernel, iters=iters, group=g_sz),
+        grid=(n_grp,),
+        in_specs=[act_spec, vec_n, mat, vec_t, vec_n, vec_t, vec_n, vec_t],
         out_specs=[vec_n, vec_t,
-                   pl.BlockSpec((1, 1, 1), lane3, memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((bsz, 1, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((bsz, 1, t_rows), jnp.float32),
-                   jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32)],
+                   pl.BlockSpec((1, 1, g_sz), lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((n_grp, g_sz, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((n_grp, g_sz, t_rows), jnp.float32),
+                   jax.ShapeDtypeStruct((n_grp, 1, g_sz), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
@@ -114,5 +180,6 @@ def pdhg_chunk_pallas(c, a, b, tau, sigma, x, y, *, iters: int,
             bytes_accessed=4 * bsz * t_rows * n_pad,
             transcendentals=0),
         interpret=interpret,
-    )(c3, a, b3, tau3, sigma3, x3, y3)
-    return xo[:, 0, :n], yo[:, 0], viol[:, 0, 0]
+    )(act, c4, a4, b4, tau4, sigma4, x4, y4)
+    return (xo.reshape(bsz, n_pad)[:, :n], yo.reshape(bsz, t_rows),
+            viol.reshape(bsz))

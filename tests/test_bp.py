@@ -67,17 +67,27 @@ def test_bp_matches_scalar_oracle(tiny_h, layout):
             assert int(res.iterations[t]) == iters
 
 
-def test_edge_dense_equivalent(small_h):
+def test_all_layouts_equivalent(small_h):
+    """Cross-check every BP layout pairing (edge / dense / mxu) on a real
+    code — the default layout is 'mxu', so each must be named explicitly."""
     g, _ = gf2_nullspace(small_h)
     key = jax.random.PRNGKey(0)
     cw = gen_random_codewords(key, g, 48)
     _, llrs = channel_llr(jax.random.fold_in(key, 1), cw, 0.0)
-    e = BPDecoder(small_h, max_iter=30).decode_batch(llrs)
-    d = BPDecoder(small_h, max_iter=30, layout="dense").decode_batch(llrs)
-    np.testing.assert_array_equal(np.asarray(e.success), np.asarray(d.success))
-    both = np.asarray(e.success)
-    np.testing.assert_array_equal(np.asarray(e.bits)[both],
-                                  np.asarray(d.bits)[both])
+    results = {
+        layout: BPDecoder(small_h, max_iter=30,
+                          layout=layout).decode_batch(llrs)
+        for layout in ("edge", "dense", "mxu")
+    }
+    base = results["edge"]
+    ok = np.asarray(base.success)
+    for layout in ("dense", "mxu"):
+        r = results[layout]
+        np.testing.assert_array_equal(ok, np.asarray(r.success),
+                                      err_msg=f"edge vs {layout}")
+        np.testing.assert_array_equal(np.asarray(base.bits)[ok],
+                                      np.asarray(r.bits)[ok],
+                                      err_msg=f"edge vs {layout}")
 
 
 def test_bp_decodes_noiseless(small_h):

@@ -78,3 +78,38 @@ def test_alp_decoder_pallas_interpret_matches_xla():
     np.testing.assert_array_equal(np.asarray(r_x.bits), np.asarray(r_p.bits))
     np.testing.assert_array_equal(np.asarray(r_x.success),
                                   np.asarray(r_p.success))
+
+
+def test_chunk_multilane_groups_match_xla():
+    """bsz=8 engages the G=8 lane-group path; must equal the XLA solver."""
+    c, a, b, x0, y0 = _random_lp(jax.random.PRNGKey(11), bsz=8, active=32)
+    iters = 120
+    x_ref, y_ref = pdhg_box_lp(c, a, b, x0, y0, iters)
+    tau, sigma = pdhg_steps(a)
+    x_k, y_k, viol = pdhg_chunk_pallas(c, a, b, tau, sigma, x0, y0,
+                                       iters=iters, interpret=True)
+    from ldpc_tpu.ops.pallas.pdhg_kernel import pick_group_size
+    assert pick_group_size(8, a.shape[1], 384) == 8
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=2e-4)
+
+
+def test_chunk_active_mask_skips_groups():
+    """Inactive lane groups must pass x/y through untouched with viol=0;
+    active groups must still solve."""
+    c, a, b, x0, y0 = _random_lp(jax.random.PRNGKey(13), bsz=4, active=32)
+    tau, sigma = pdhg_steps(a)
+    # groups of G=4 -> one group; make lanes 0-3 inactive => whole grid skips
+    act_none = jnp.zeros((4,), bool)
+    x_s, y_s, v_s = pdhg_chunk_pallas(c, a, b, tau, sigma, x0, y0,
+                                      iters=50, active=act_none,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(x_s), np.asarray(x0))
+    np.testing.assert_array_equal(np.asarray(y_s), np.asarray(y0))
+    np.testing.assert_array_equal(np.asarray(v_s), np.zeros(4, np.float32))
+    # one active lane keeps the whole group solving (group granularity)
+    act_one = jnp.array([False, True, False, False])
+    x_a, _, _ = pdhg_chunk_pallas(c, a, b, tau, sigma, x0, y0,
+                                  iters=50, active=act_one, interpret=True)
+    x_ref, _ = pdhg_box_lp(c, a, b, x0, y0, 50)
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_ref), atol=2e-5)
