@@ -1,5 +1,6 @@
-"""Headline benchmark: decoded codewords/s/chip for BP (50 iterations,
-sum-product) on data/optimalH.txt at SNR=-3 dB — the BASELINE.json metric.
+"""Headline benchmark: decoded codewords/s/chip for BP (100 iterations,
+sum-product — the reference's exact config, main.cpp:29) on
+data/optimalH.txt at SNR=-3 dB — the BASELINE.json metric.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
@@ -8,6 +9,8 @@ SNR=-3 with 100-iteration early-exit decoding on a CPU thread
 (reports/report_opt.csv:6) => 76.4 cw/s/thread, 611 cw/s for the 8-thread
 harness (main.cpp:23). vs_baseline compares our one-chip throughput against
 the full 8-thread reference aggregate — the honest machine-vs-machine ratio.
+A 50-iteration variant is reported as an extra (early exit makes the
+difference small: avg iterations ~31 at this SNR).
 """
 from __future__ import annotations
 
@@ -38,23 +41,28 @@ def main():
     codewords = np.asarray(gen_random_codewords(cw_key, g, trials))
 
     layout = "pallas" if jax.default_backend() == "tpu" else "mxu"
-    dec = BPDecoder(h, max_iter=50, layout=layout)
+    dec = BPDecoder(h, max_iter=100, layout=layout)
     res = run_experiment(dec, h, codewords, snr, noise_key, batch_size=batch)
+
+    dec50 = BPDecoder(h, max_iter=50, layout=layout)
+    res50 = run_experiment(dec50, h, codewords, snr, noise_key,
+                           batch_size=batch)
 
     throughput = res.throughput
     baseline_cws = 611.0  # 8-thread reference aggregate at SNR=-3 (see above)
 
-    # FER fidelity vs the reference curve (100-iter config) is checked by the
-    # validation sweep; report the 50-iter FER as an extra for context.
     out = {
-        "metric": "BP-50it decoded codewords/s/chip (optimalH, SNR=-3dB)",
+        "metric": "BP-100it decoded codewords/s/chip (optimalH, SNR=-3dB)",
         "value": round(throughput, 1),
         "unit": "codewords/s/chip",
         "vs_baseline": round(throughput / baseline_cws, 2),
         "extra": {
-            "fer_50it": round(res.fer, 4),
-            "trials": trials,
+            "fer_100it": round(res.fer, 4),
+            "fer_ref_100it": 0.4860,   # reports/report_opt.csv:6
             "avg_iterations": round(res.sum_iterations / res.total, 2),
+            "cws_50it": round(res50.throughput, 1),
+            "fer_50it": round(res50.fer, 4),
+            "trials": trials,
             "device": str(jax.devices()[0]),
             "layout": layout,
         },

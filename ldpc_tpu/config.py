@@ -106,7 +106,10 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cfg) -> None:
             parser.add_argument(name, type=lambda s: s.lower() in
                                 ("1", "true", "yes"), default=default)
         elif isinstance(default, tuple):
-            elem = float if (default and isinstance(default[0], float)) else str
+            # accept both space-separated values and comma-separated lists
+            # (--decoders alp agc-alp  ==  --decoders alp,agc-alp)
+            ef = float if (default and isinstance(default[0], float)) else str
+            elem = lambda s, ef=ef: tuple(ef(p) for p in s.split(",") if p)
             parser.add_argument(name, nargs="*", type=elem, default=default)
         elif default is None:
             parser.add_argument(name, type=str, default=None)
@@ -123,6 +126,9 @@ def apply_args(cfg, args: argparse.Namespace):
         if hasattr(args, f.name):
             new = getattr(args, f.name)
             if isinstance(val, tuple) and new is not None:
-                new = tuple(new)
+                # flatten per-arg comma groups from the tuple elem parser
+                new = tuple(x for part in new
+                            for x in (part if isinstance(part, tuple)
+                                      else (part,)))
             setattr(cfg, f.name, new)
     return cfg

@@ -149,6 +149,10 @@ class _AdaptiveLPBase:
         # lanes never terminate.
         self.lp_tol = 3e-4
         self.lp_max_iters = max(8 * self.lp_iters, 4000)
+        # chunk- and round-level stagnation threshold: stop solving /
+        # terminate the lane when violation improves by <20% per step of
+        # the respective loop (see the done rule and ops.lp_solver)
+        self.stall_ratio = 0.8
         assert self.cut_tol > self.lp_tol, "cut_tol must exceed lp_tol"
         # static generic direction for the objective perturbation below
         rng = np.random.default_rng(0xC0FFEE)
@@ -209,7 +213,8 @@ class _AdaptiveLPBase:
         w1, w2 = self._hash_w
 
         def body(state):
-            rnd, x, y, a_buf, rhs_buf, count, done, hstate = state
+            (rnd, x, y, a_buf, rhs_buf, count, done, viol, viol_prev,
+             hstate) = state
             eligible = ~done & (count < self.max_rows)
             # Snap near-integral coordinates to exactly 0/1 for cut *search*
             # (LP state itself is untouched). The simplex the reference uses
@@ -253,11 +258,20 @@ class _AdaptiveLPBase:
             else:
                 n_added = n_h
                 n_dups = d_h
-            # a lane is finished when its cut search yields nothing at all;
-            # duplicate-only rounds mean the LP re-solve hasn't converged on
-            # the existing cuts yet (an exact solver can never re-violate an
-            # added cut) — keep polishing instead of terminating
-            done = done | ((n_added == 0) & (n_dups == 0))
+            # a lane is finished when its cut search yields no NEW cut and
+            # its LP solve is as good as it will get: either converged
+            # (violation below lp_tol) or *plateaued* (violation stopped
+            # improving across rounds — degenerate cut LPs give PDHG a
+            # ~1e-2 violation floor that no iteration budget breaks; the
+            # snapped cut search absorbs noise far above it, so plateaued
+            # lanes behave exactly like converged ones for cut discovery).
+            # Duplicate candidates never keep a lane alive: the snapped
+            # solution re-violates existing cuts by up to snap_tol*|supp|,
+            # which an exact solver would never re-find (round-1's
+            # dup-polish rule made every lane spin to max_rounds).
+            stalled = viol >= self.stall_ratio * viol_prev
+            done = done | ((n_added == 0) &
+                           ((viol <= self.lp_tol) | stalled))
             # re-solve for lanes that changed; frozen lanes keep their x, y.
             # PDHG runs on the smallest static row-slice of the buffer that
             # covers every lane's active cuts (lax.switch over geometric
@@ -272,42 +286,54 @@ class _AdaptiveLPBase:
                 def run(args):
                     a_t, rhs_t, xx, yy, act = args
                     if self.lp_backend == "xla" or t % 128 != 0:
-                        x_t, y_t = pdhg_box_lp(
-                            c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
-                            self.lp_max_iters, tol=self.lp_tol,
-                            check_every=self.lp_iters, active=act)
-                    else:
-                        x_t, y_t = pdhg_box_lp_fused(
+                        x_t, y_t, v_t = pdhg_box_lp(
                             c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
                             self.lp_max_iters, tol=self.lp_tol,
                             check_every=self.lp_iters, active=act,
+                            stall_ratio=self.stall_ratio)
+                    else:
+                        x_t, y_t, v_t = pdhg_box_lp_fused(
+                            c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
+                            self.lp_max_iters, tol=self.lp_tol,
+                            check_every=self.lp_iters, active=act,
+                            stall_ratio=self.stall_ratio,
                             interpret=self.lp_backend == "pallas-interpret")
-                    return x_t, yy.at[:, :t].set(y_t)
+                    return x_t, yy.at[:, :t].set(y_t), v_t
                 return run
 
             tiers = [t for t in self._tiers if t < cap] + [cap]
             tier_idx = sum((r_max > t).astype(jnp.int32) for t in tiers[:-1])
-            x_new, y_new = jax.lax.switch(
+            x_new, y_new, viol_new = jax.lax.switch(
                 tier_idx, [solve_tier(t) for t in tiers],
                 (a_buf, rhs_buf, x, y, act))
             keep = done[:, None]
             x = jnp.where(keep, x, x_new)
             y = jnp.where(keep, y, y_new)
-            return rnd + 1, x, y, a_buf, rhs_buf, count, done, hstate
+            viol_prev = viol
+            viol = jnp.where(done, 0.0, viol_new)
+            return (rnd + 1, x, y, a_buf, rhs_buf, count, done, viol,
+                    viol_prev, hstate)
 
         def cond(state):
             rnd = state[0]
             done = state[6]
             return (rnd < self.max_rounds) & ~jnp.all(done)
 
-        state = (jnp.int32(0), x0, y0, a0, r0, cnt0, done0, h0)
-        (rnd, x, y, a_buf, rhs_buf, count, done,
-         _) = jax.lax.while_loop(cond, body, state)
-        return x, count, rnd, done
+        # x0 is the exact box-LP optimum over zero constraints: viol0 = 0;
+        # viol_prev starts at +inf so the round-stagnation test is inert
+        # until a real solve has happened
+        viol0 = jnp.zeros((bsz,), jnp.float32)
+        vprev0 = jnp.full((bsz,), jnp.inf, jnp.float32)
+        state = (jnp.int32(0), x0, y0, a0, r0, cnt0, done0, viol0, vprev0,
+                 h0)
+        final = jax.lax.while_loop(cond, body, state)
+        # full final state; jitted callers slice what they need (XLA DCEs
+        # the big buffers out of programs that don't fetch them)
+        return final
 
     def _decode_impl(self, llrs) -> DecodeResult:
         bsz = llrs.shape[0]
-        x, count, rnd, done = self._run_loop(llrs)
+        rnd, x, _, _, _, count, done, _, _, _ = self._run_loop(llrs)
         bits = (x > 0.5).astype(jnp.uint8)
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
                            axis=-1)
@@ -323,11 +349,11 @@ class _AdaptiveLPBase:
         rounds used (batch-wide), integrality, per-lane done flag."""
         if not hasattr(self, "_run_loop_jit"):
             self._run_loop_jit = jax.jit(self._run_loop)
-        x, count, rnd, done = self._run_loop_jit(llrs)
+        rnd, x, _, _, _, count, done, viol, _, _ = self._run_loop_jit(llrs)
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
                            axis=-1)
         return {"count": count, "rounds": rnd, "integral": integral,
-                "done": done}
+                "done": done, "viol": viol}
 
 
 class ALPDecoder(_AdaptiveLPBase):

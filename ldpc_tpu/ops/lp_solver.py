@@ -46,7 +46,7 @@ def pdhg_steps(a_rows, safety: float = 0.95):
 
 def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
                 tol: float | None = None, check_every: int = 200,
-                active=None):
+                active=None, stall_ratio: float | None = None):
     """Preconditioned PDHG steps, optionally tolerance-driven.
     Shapes: c,x0 (B,n); a_rows (B,R,n); b,y0 (B,R).
 
@@ -59,7 +59,18 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     (B,) bool; inactive lanes are excluded from the violation check (their
     x/y still step — callers freeze them by discarding the outputs).
 
-    Returns (x, y). Warm-startable: pass previous (x, y).
+    ``stall_ratio``: if set (e.g. 0.8), the chunk loop also stops once the
+    batch-max violation improves by less than (1 - stall_ratio) over a
+    chunk. Degenerate cut LPs (many near-parallel rows) give PDHG a
+    violation *plateau* ~1e-2 that 20k+ iterations will not break — burning
+    the full ``iters`` budget on a plateaued batch is pure waste, and the
+    ALP cut loops tolerate plateau-quality solutions (their snapped cut
+    search absorbs coordinate noise far above the plateau).
+
+    Returns (x, y) when ``tol`` is None, else (x, y, viol) with ``viol`` the
+    per-lane (B,) max primal violation at exit — callers use it as the
+    per-lane "LP actually converged" certificate. Warm-startable: pass
+    previous (x, y).
     """
     tau, sigma = pdhg_steps(a_rows, safety)
 
@@ -76,13 +87,13 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     if tol is None:
         return jax.lax.fori_loop(0, iters, lambda _, xy: step(xy), (x0, y0))
 
-    def max_violation(x):
+    def lane_violation(x):
         ax = jnp.einsum("brn,bn->br", a_rows, x,
                         preferred_element_type=jnp.float32)
         v = jnp.max(jnp.maximum(ax - b, 0.0), axis=-1)
         if active is not None:
             v = jnp.where(active, v, 0.0)
-        return jnp.max(v)
+        return v
 
     # fori-of-cond-of-fori rather than nested while loops: a while_loop
     # inside an outer while_loop (the decoders' cut-round loop) compiles
@@ -90,25 +101,36 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     # predicated body lowers cleanly and skips converged chunks at runtime.
     n_chunks = -(-iters // check_every)
 
-    def chunk(_, xy):
-        def run(xy):
-            return jax.lax.fori_loop(0, check_every,
-                                     lambda _, s: step(s), xy)
-        x, y = xy
-        return jax.lax.cond(max_violation(x) > tol, run, lambda s: s, (x, y))
+    def chunk(_, carry):
+        def run(carry):
+            x, y, v, _ = carry
+            x, y = jax.lax.fori_loop(0, check_every,
+                                     lambda _, s: step(s), (x, y))
+            return x, y, lane_violation(x), jnp.max(v)
+        x, y, v, vprev = carry
+        vmax = jnp.max(v)
+        go = vmax > tol
+        if stall_ratio is not None:
+            go &= (vmax < stall_ratio * vprev) | ~jnp.isfinite(vprev)
+        return jax.lax.cond(go, run, lambda s: s, carry)
 
-    return jax.lax.fori_loop(0, n_chunks, chunk, (x0, y0))
+    x, y, v, _ = jax.lax.fori_loop(
+        0, n_chunks, chunk,
+        (x0, y0, lane_violation(x0), jnp.float32(jnp.inf)))
+    return x, y, v
 
 
 def pdhg_box_lp_fused(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
                       tol: float = 1e-4, check_every: int = 200,
-                      interpret: bool = False, active=None):
+                      interpret: bool = False, active=None,
+                      stall_ratio: float | None = None):
     """Tolerance-driven PDHG via the fused Pallas chunk kernel
     (:mod:`ldpc_tpu.ops.pallas.pdhg_kernel`): each chunk runs
     ``check_every`` iterations with the lane's constraint slice resident in
     VMEM and returns the per-lane max primal violation, so the outer
     tolerance loop costs no extra matvec. Requires a_rows.shape[1] to be a
-    multiple of 128. Same semantics as ``pdhg_box_lp(tol=...)``.
+    multiple of 128. Same semantics as ``pdhg_box_lp(tol=...)`` and the same
+    (x, y, per-lane viol) return.
 
     ``active``: optional (B,) bool — groups of inactive lanes skip each
     chunk inside the kernel and are excluded from the stop criterion."""
@@ -116,21 +138,29 @@ def pdhg_box_lp_fused(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
 
     tau, sigma = pdhg_steps(a_rows, safety)
     n_chunks = -(-iters // check_every)
+    bsz = a_rows.shape[0]
 
     def chunk(_, carry):
         def run(carry):
-            x, y, _ = carry
-            xo, yo, v = pdhg_chunk_pallas(c, a_rows, b, tau, sigma, x, y,
-                                          iters=check_every, active=active,
-                                          interpret=interpret)
+            x, y, v, _ = carry
+            xo, yo, vn = pdhg_chunk_pallas(c, a_rows, b, tau, sigma, x, y,
+                                           iters=check_every, active=active,
+                                           interpret=interpret)
             if active is not None:
-                v = jnp.where(active, v, 0.0)
-            return xo, yo, jnp.max(v)
-        return jax.lax.cond(carry[2] > tol, run, lambda s: s, carry)
+                vn = jnp.where(active, vn, 0.0)
+            return xo, yo, vn, jnp.max(v)
+        x, y, v, vprev = carry
+        vmax = jnp.max(v)
+        go = vmax > tol
+        if stall_ratio is not None:
+            go &= (vmax < stall_ratio * vprev) | ~jnp.isfinite(vprev)
+        return jax.lax.cond(go, run, lambda s: s, carry)
 
-    x, y, _ = jax.lax.fori_loop(
-        0, n_chunks, chunk, (x0, y0, jnp.float32(jnp.inf)))
-    return x, y
+    x, y, v, _ = jax.lax.fori_loop(
+        0, n_chunks, chunk,
+        (x0, y0, jnp.full((bsz,), jnp.inf, jnp.float32),
+         jnp.float32(jnp.inf)))
+    return x, y, v
 
 
 def pdhg_box_lp_shared(c, a, b, x0, y0, iters: int, safety: float = 0.95):

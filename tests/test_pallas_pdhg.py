@@ -43,10 +43,15 @@ def test_chunk_matches_xla_fixed_iters():
 def test_fused_solver_reaches_tolerance():
     from ldpc_tpu.ops.lp_solver import pdhg_box_lp_fused
     c, a, b, x0, y0 = _random_lp(jax.random.PRNGKey(7), bsz=2, active=24)
-    x, y = pdhg_box_lp_fused(c, a, b, x0, y0, iters=3000, tol=1e-3,
-                             check_every=250, interpret=True)
-    x_ref, y_ref = pdhg_box_lp(c, a, b, x0, y0, 3000, tol=1e-3,
-                               check_every=250)
+    x, y, viol = pdhg_box_lp_fused(c, a, b, x0, y0, iters=3000, tol=1e-3,
+                                   check_every=250, interpret=True)
+    x_ref, y_ref, viol_ref = pdhg_box_lp(c, a, b, x0, y0, 3000, tol=1e-3,
+                                         check_every=250)
+    # per-lane violation report matches a recompute
+    ax_l = jnp.einsum("brn,bn->br", a, x)
+    np.testing.assert_allclose(
+        np.asarray(viol), np.asarray(jnp.max(jnp.maximum(ax_l - b, 0.0),
+                                             axis=1)), atol=1e-5)
     ax = jnp.einsum("brn,bn->br", a, x)
     ax_ref = jnp.einsum("brn,bn->br", a, x_ref)
     # same tolerance-driven trajectory: violation no worse than XLA's (+eps)
