@@ -10,8 +10,10 @@ eliminated rows. The loop stops per lane when the total LP row count reaches
 source fires (``agc_alp.h:99-101``, including the ``||`` short-circuit: gauss
 cuts are only generated when zero H cuts were added that round).
 
-The elimination is the batched fixed-trip masked routine in
-:mod:`ldpc_tpu.ops.gf2_gauss` — per-lane dense uint8 row ops on the VPU.
+The elimination runs in the VMEM-resident Pallas kernel on TPU
+(:mod:`ldpc_tpu.ops.pallas.gauss_kernel`) with lane-group skipping — only
+the lanes that actually need gauss cuts this round pay for it — and falls
+back to the batched XLA routine (:mod:`ldpc_tpu.ops.gf2_gauss`) elsewhere.
 """
 from __future__ import annotations
 
@@ -29,13 +31,16 @@ class AGCALPDecoder(_AdaptiveLPBase):
     def __init__(self, h, max_rows: int = 1000, max_rounds: int = 64,
                  lp_iters: int = 600, int_tol: float = 3e-2,
                  cut_tol: float = 1e-3, gauss_eps: float = 1e-3,
-                 lp_backend: str = "auto"):
+                 lp_backend: str = "auto", gauss_backend: str = "auto"):
         super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,
                          lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol,
                          lp_backend=lp_backend)
         self.name = "AGC-ALP"
         self.gauss_eps = float(gauss_eps)
+        self.gauss_backend = gauss_backend
 
-    def _gauss_sup(self, x):
-        he = calculate_gauss_batched(self._h, x, self.gauss_eps)
+    def _gauss_sup(self, x, need=None):
+        he = calculate_gauss_batched(self._h, x, self.gauss_eps,
+                                     active=need,
+                                     backend=self.gauss_backend)
         return he.astype(bool)

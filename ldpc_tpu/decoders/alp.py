@@ -184,8 +184,9 @@ class _AdaptiveLPBase:
         self._decode = jax.jit(self._decode_impl)
 
     # subclass hook: support masks of the solution-adapted (eliminated) H,
-    # used as the extra cut source for lanes whose H-cut count was zero
-    def _gauss_sup(self, x):
+    # used as the extra cut source for lanes whose H-cut count was zero;
+    # ``need`` (B,) bool marks the lanes whose output will actually be used
+    def _gauss_sup(self, x, need=None):
         raise NotImplementedError
 
     def _run_loop(self, llrs):
@@ -237,7 +238,7 @@ class _AdaptiveLPBase:
 
                 def with_gauss(args):
                     a_b, r_b, cnt, hs = args
-                    g_sup = self._gauss_sup(x_s)
+                    g_sup = self._gauss_sup(x_s, need)
                     g_rows, g_rhs, g_add = alp_cut_candidates(
                         g_sup, x_s, self.cut_tol)
                     g_add = g_add & need[:, None]

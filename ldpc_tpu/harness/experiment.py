@@ -209,23 +209,33 @@ def run_multi_snr_experiment(decoder: Decoder, h, codewords, snrs, key,
         for bsz in shapes:
             out = step(*place(cw[trial_idx[:bsz]], trial_idx[:bsz],
                               snr_ids[:bsz]))
-            jax.block_until_ready(out)
+            jax.device_get(out)  # real sync (block_until_ready is a no-op)
 
-    pending = []
+    # device-side accumulation + single fetch per flush (see run_experiment:
+    # block_until_ready is a NO-OP on the tunneled TPU; the fetch is the
+    # real sync and costs one ~27 ms RTT)
+    agg = {}
+
+    def flush(acc):
+        host = jax.device_get(acc)
+        for k, v in host.items():
+            agg[k] = agg.get(k, 0) + v.astype(np.int64)
+
+    acc = None
+    n_acc = 0
     t_start = time.perf_counter()
     for s in starts:
         e = min(s + batch_size, total_lanes)
         sl = slice(s, e)
-        pending.append(step(*place(cw[trial_idx[sl]], trial_idx[sl],
-                                   snr_ids[sl])))
-    jax.block_until_ready(pending)
+        out = step(*place(cw[trial_idx[sl]], trial_idx[sl], snr_ids[sl]))
+        acc = out if acc is None else _add_counters(acc, out)
+        n_acc += 1
+        if n_acc >= 64:
+            flush(acc)
+            acc, n_acc = None, 0
+    if acc is not None:
+        flush(acc)
     elapsed = time.perf_counter() - t_start
-
-    agg = {}
-    for counters in pending:
-        host = jax.device_get(counters)
-        for k, v in host.items():
-            agg[k] = agg.get(k, 0) + v.astype(np.int64)
     results = []
     for si in range(s_count):
         results.append(ExperimentResult(
@@ -271,22 +281,41 @@ def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
         shapes = {stop - start for start, stop in batches}
         for bsz in shapes:
             out = step(*place(cw[:bsz], np.arange(bsz, dtype=np.int32)))
-            jax.block_until_ready(out)
+            jax.device_get(out)  # real sync (block_until_ready is a no-op)
 
+    # Counters are accumulated ON DEVICE with a jitted tree-add and fetched
+    # once per flush: on the tunneled TPU a host fetch costs a ~27 ms RTT
+    # (and jax.block_until_ready is a NO-OP there — a fetch is the only real
+    # sync, so it is also what makes the timing honest). Flush every 64
+    # batches to keep int32 counters far from overflow on huge sweeps.
     result = ExperimentResult()
-    pending = []                 # keep dispatch async; fetch after the loop
+    acc = None
+    n_acc = 0
     t_start = time.perf_counter()
     for start, stop in batches:
         idx = np.arange(start, stop, dtype=np.int32)
-        pending.append(step(*place(cw[start:stop], idx)))
-    jax.block_until_ready(pending)
+        out = step(*place(cw[start:stop], idx))
+        acc = out if acc is None else _add_counters(acc, out)
+        n_acc += 1
+        if n_acc >= 64:
+            result.merge(_fetch_counters(acc))
+            acc, n_acc = None, 0
+    if acc is not None:
+        result.merge(_fetch_counters(acc))
     result.time_sec = time.perf_counter() - t_start
-    for counters in pending:
-        host = {k: int(v) for k, v in jax.device_get(counters).items()}
-        result.merge(ExperimentResult(
-            total=host["total"], correct=host["correct"],
-            pseudo=host["pseudo"], sum_hamming=host["sum_hamming"],
-            sum_hamming_ok=host["sum_hamming_ok"],
-            sum_hamming_wrong=host["sum_hamming_wrong"],
-            sum_iterations=host["sum_iterations"]))
     return result
+
+
+@jax.jit
+def _add_counters(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def _fetch_counters(acc) -> ExperimentResult:
+    host = {k: int(v) for k, v in jax.device_get(acc).items()}
+    return ExperimentResult(
+        total=host["total"], correct=host["correct"],
+        pseudo=host["pseudo"], sum_hamming=host["sum_hamming"],
+        sum_hamming_ok=host["sum_hamming_ok"],
+        sum_hamming_wrong=host["sum_hamming_wrong"],
+        sum_iterations=host["sum_iterations"])

@@ -36,10 +36,10 @@ if "viol" in st:
     print(f"viol: p50={np.percentile(v,50):.2e} p90={np.percentile(v,90):.2e}"
           f" max={v.max():.2e}  n(viol>tol)={int((v > dec.lp_tol).sum())}")
 
-# timed decode (stats already compiled _run_loop; decode jit is separate)
-r = dec.decode_batch(llrs); jax.block_until_ready(r.bits)
+# timed decode; block_until_ready is a NO-OP on the axon tunnel — a host
+# fetch is the only real sync
+r = dec.decode_batch(llrs); _ = np.asarray(r.success)
 t0 = time.time()
-r = dec.decode_batch(llrs); jax.block_until_ready(r.bits)
+r = dec.decode_batch(llrs); s = np.asarray(r.success)
 dt = time.time() - t0
-print(f"decode: {dt:.3f}s for B={B} -> {B/dt:.1f} cw/s  "
-      f"FER~{1-np.asarray(r.success).mean():.3f}")
+print(f"decode: {dt:.3f}s for B={B} -> {B/dt:.1f} cw/s  FER~{1-s.mean():.3f}")
