@@ -53,13 +53,25 @@ def _caps_for_grid(cfg: OptimizeConfig):
 
 
 class PopulationEvaluator:
-    """Jit-compiled FER evaluation of P candidate matrices at once."""
+    """Jit-compiled FER evaluation of P candidate matrices at once.
 
-    def __init__(self, cfg: OptimizeConfig, n: int):
+    With ``sharding`` (a :class:`ldpc_tpu.parallel.mesh.TrialSharding`), the
+    population axis is sharded over the device mesh (SURVEY.md §2,
+    parallelism item 4): each device evaluates P/D candidates' trial
+    batches, and the generation's argmin-accept runs as a collective inside
+    one jitted reduction.
+    """
+
+    def __init__(self, cfg: OptimizeConfig, n: int, sharding=None):
         self.cfg = cfg
         self.n = n
         self.caps = _caps_for_grid(cfg)
+        self.sharding = sharding
         self._fn = None
+        # collective argmin over the (possibly sharded) per-candidate
+        # correct-counts: returns (best index, best count)
+        self._argbest = jax.jit(
+            lambda c: (jnp.argmax(c), jnp.max(c)))
 
     def _compile(self, trial_batch: int):
         cfg = self.cfg
@@ -71,6 +83,20 @@ class PopulationEvaluator:
             return jnp.sum(good.astype(jnp.int32))
 
         self._fn = jax.jit(jax.vmap(correct_counts))
+
+    def _place(self, tree):
+        """Shard a (P, ...) pytree over the mesh population axis."""
+        if self.sharding is None:
+            return tree
+        sh = self.sharding
+
+        def put(x):
+            if x.shape[0] % sh.num_devices == 0:
+                spec = (sh.batch_sharding if x.ndim > 1
+                        else sh.index_sharding)
+                return jax.device_put(x, spec)
+            return x
+        return jax.tree.map(put, tree)
 
     def evaluate(self, candidates: list[np.ndarray], key,
                  trials: int, trial_batch: int = 512) -> np.ndarray:
@@ -98,30 +124,45 @@ class PopulationEvaluator:
             self._compile(trial_batch)
 
         # pad the live set to the population size so one compiled program
-        # shape serves every generation (singular candidates drop out)
-        n_live = len(live)
+        # shape serves every generation. Pad slots replicate a live
+        # structure and their decodes are discarded below — a static-shape
+        # tax paid only when candidates are singular (rare for QC matrices
+        # at these block counts).
         while len(tables_list) < max(p_count, 1):
             tables_list.append(tables_list[-1])
             cw_list.append(cw_list[-1])
 
-        stacked = {k: jnp.asarray(np.stack([t[k] for t in tables_list]))
-                   for k in tables_list[0]}
+        stacked = self._place(
+            {k: jnp.asarray(np.stack([t[k] for t in tables_list]))
+             for k in tables_list[0]})
         cw_all = np.stack(cw_list)                # (P, T, n)
 
         sigma = float(np.sqrt(float(llr_variance(cfg.snr))))
         inv_var = float(2.0 / float(llr_variance(cfg.snr)))
 
-        correct = np.zeros(len(tables_list), np.int64)
+        # Noise is SHARED across candidates (common random numbers): every
+        # proposal sees the same channel realizations, so FER differences
+        # between candidates are decoder-induced, not noise-draw variance —
+        # the same variance-reduction the reference gets implicitly from
+        # regenerating noise with the same base seed (optimize_H.cpp:21-23).
+        correct_dev = None
         for start in range(0, trials, trial_batch):
             stop = min(start + trial_batch, trials)
             idx = jnp.arange(start, stop, dtype=jnp.int32)
             keys = jax.vmap(lambda i: jax.random.fold_in(noise_key, i))(idx)
             noise = jax.vmap(lambda k: jax.random.normal(
                 k, (self.n,), jnp.float32))(keys)      # (t, n) shared
-            cw_chunk = jnp.asarray(cw_all[:, start:stop])
+            cw_chunk = self._place(jnp.asarray(cw_all[:, start:stop]))
             llrs = inv_var * (bpsk(cw_chunk) + sigma * noise[None])
             out = self._fn(stacked, llrs, cw_chunk)
-            correct += np.asarray(out, np.int64)
+            correct_dev = out if correct_dev is None else correct_dev + out
+        # collective argmax over the sharded population axis (the
+        # generation's argmin-FER accept); pad slots replicate the last
+        # live candidate, so a pad win maps back to it
+        n_live = len(live)
+        best_slot, _ = self._argbest(correct_dev)
+        self.last_best = live[min(int(best_slot), n_live - 1)]
+        correct = np.asarray(correct_dev, np.int64)
         for li, pi in enumerate(live):
             fers[pi] = 1.0 - correct[li] / trials
         return fers
@@ -150,13 +191,22 @@ def optimize(cfg: OptimizeConfig, log=print):
                              cfg.block_cols)
         start_gen = 0
 
-    ev = PopulationEvaluator(cfg, cfg.block_cols * cfg.block_size)
+    sharding = None
+    if len(jax.devices()) > 1 and cfg.population % len(jax.devices()) == 0:
+        from ..parallel.mesh import make_trial_mesh
+        sharding = make_trial_mesh(axis_name="pop")
+        log(f"population sharded over {sharding.num_devices} devices",
+            file=sys.stderr)
+    ev = PopulationEvaluator(cfg, cfg.block_cols * cfg.block_size, sharding)
     if not state_loaded:
         current_fer = float(ev.evaluate([qc.to_dense()], key,
                                         cfg.trials)[0])
     log(f"initial FER={current_fer:.5f}")
 
-    rounds = max(1, (cfg.generations - start_gen) // cfg.population)
+    # ceil: the proposal budget is cfg.generations total proposals (the
+    # reference's 10,000 serial proposals, optimize_H.cpp:133); a floor
+    # division would silently shrink it by up to population-1
+    rounds = max(1, -(-(cfg.generations - start_gen) // cfg.population))
     for gen in range(rounds):
         t0 = time.perf_counter()
         proposals = [qc.random_mutation(rng) for _ in range(cfg.population)]

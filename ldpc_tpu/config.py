@@ -27,7 +27,11 @@ class DecoderConfig:
     admm_eps_stop: float = 1e-5
     agc_max_rows: int = 1000             # main.cpp:38
     lp_max_rounds: int = 64              # ALP cut rounds cap (while-loop guard)
-    lp_iters: int = 600                  # PDHG iterations per LP solve round
+    # PDHG chunk length between violation/stall checks. Smaller chunks stop
+    # warm-started re-solves sooner (the cut loops re-solve after adding a
+    # handful of rows); measured FER-neutral at -3 dB from 600 down to 100,
+    # with ALP throughput 267 -> 672 cw/s and AGC-ALP 40 -> 133.
+    lp_iters: int = 100
     # Integrality-certificate tolerance. The reference tests coordinates
     # against EPS=1e-8 after an *exact* dual-simplex solve (full_lp.h:44-59);
     # a first-order PDHG solve leaves up to ~1.5e-2 coordinate noise on true

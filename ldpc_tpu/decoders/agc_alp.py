@@ -29,7 +29,7 @@ class AGCALPDecoder(_AdaptiveLPBase):
     use_gauss = True
 
     def __init__(self, h, max_rows: int = 1000, max_rounds: int = 64,
-                 lp_iters: int = 600, int_tol: float = 3e-2,
+                 lp_iters: int = 100, int_tol: float = 3e-2,
                  cut_tol: float = 1e-3, gauss_eps: float = 1e-3,
                  lp_backend: str = "auto", gauss_backend: str = "auto"):
         super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,

@@ -364,7 +364,7 @@ class ALPDecoder(_AdaptiveLPBase):
 
     use_gauss = False
 
-    def __init__(self, h, max_rounds: int = 64, lp_iters: int = 600,
+    def __init__(self, h, max_rounds: int = 64, lp_iters: int = 100,
                  int_tol: float = 3e-2, max_rows: int = 512,
                  cut_tol: float = 1e-3, lp_backend: str = "auto"):
         super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,

@@ -12,6 +12,7 @@ from ldpc_tpu.decoders.agc_alp import AGCALPDecoder
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 SNR = float(sys.argv[2]) if len(sys.argv) > 2 else -3.0
 kind = sys.argv[3] if len(sys.argv) > 3 else "alp"
+LP_ITERS = int(sys.argv[4]) if len(sys.argv) > 4 else 600
 
 h = read_pcm("data/optimalH.txt")
 g, ok = gf2_nullspace(h)
@@ -19,7 +20,8 @@ key = jax.random.key(239_239_239)
 cw = np.asarray(gen_random_codewords(jax.random.fold_in(key, 1), g, B))
 _, llrs = channel_llr(jax.random.fold_in(key, 2), jnp.asarray(cw), SNR)
 
-dec = ALPDecoder(h) if kind == "alp" else AGCALPDecoder(h)
+dec = (ALPDecoder(h, lp_iters=LP_ITERS) if kind == "alp"
+       else AGCALPDecoder(h, lp_iters=LP_ITERS))
 print(f"{kind} B={B} SNR={SNR} tiers={dec._tiers} cap={dec.capacity} "
       f"lp_iters={dec.lp_iters} lp_max={dec.lp_max_iters} tol={dec.lp_tol}")
 
