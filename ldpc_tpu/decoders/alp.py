@@ -119,7 +119,9 @@ def append_cuts(a_buf, rhs_buf, count, rows, rhs, add,
             h2_buf, pos, h2c)
         hash_state = (h1_buf, h2_buf)
     n_added = jnp.sum(pos < cap, axis=1).astype(jnp.int32)
-    return a_buf, rhs_buf, count + n_added, n_added, n_dup, hash_state
+    n_dropped = jnp.sum(add, axis=1).astype(jnp.int32) - n_added
+    return a_buf, rhs_buf, count + n_added, n_added, n_dup, n_dropped, \
+        hash_state
 
 
 class _AdaptiveLPBase:
@@ -215,7 +217,7 @@ class _AdaptiveLPBase:
 
         def body(state):
             (rnd, x, y, a_buf, rhs_buf, count, done, viol, viol_prev,
-             hstate) = state
+             dropped, hstate) = state
             eligible = ~done & (count < self.max_rows)
             # Snap near-integral coordinates to exactly 0/1 for cut *search*
             # (LP state itself is untouched). The simplex the reference uses
@@ -227,9 +229,10 @@ class _AdaptiveLPBase:
                             jnp.where(x > 1.0 - self.snap_tol, 1.0, x))
             rows, rhs, add = alp_cut_candidates(self._sup, x_s, self.cut_tol)
             add_h = add & eligible[:, None]
-            a_buf, rhs_buf, count, n_h, d_h, hstate = append_cuts(
+            a_buf, rhs_buf, count, n_h, d_h, drop_h, hstate = append_cuts(
                 a_buf, rhs_buf, count, rows, rhs, add_h,
                 hash_state=hstate, cand_hashes=cut_hashes(rows, w1, w2))
+            dropped = dropped + drop_h
             if self.use_gauss:
                 # short-circuit semantics (agc_alp.h:99-101): gauss cuts only
                 # for lanes that added no H cuts this round; skip the whole
@@ -239,8 +242,16 @@ class _AdaptiveLPBase:
                 def with_gauss(args):
                     a_b, r_b, cnt, hs = args
                     g_sup = self._gauss_sup(x_s, need)
+                    # gauss rows are dense (~n/2 support): the violation sum
+                    # accumulates LP plateau noise over ~140 coordinates
+                    # (sigma ~ 0.07), so cuts an exact solver would find read
+                    # as unviolated. gauss_margin relaxes the acceptance
+                    # threshold; odd-set cuts from GF(2) row combinations are
+                    # valid inequalities whether or not currently violated,
+                    # so near-violated cuts are sound to add.
+                    g_tol = self.cut_tol - getattr(self, "gauss_margin", 0.0)
                     g_rows, g_rhs, g_add = alp_cut_candidates(
-                        g_sup, x_s, self.cut_tol)
+                        g_sup, x_s, g_tol)
                     g_add = g_add & need[:, None]
                     return append_cuts(a_b, r_b, cnt, g_rows, g_rhs, g_add,
                                        hash_state=hs,
@@ -249,13 +260,14 @@ class _AdaptiveLPBase:
                 def without_gauss(args):
                     a_b, r_b, cnt, hs = args
                     return (a_b, r_b, cnt, jnp.zeros_like(n_h),
-                            jnp.zeros_like(n_h), hs)
+                            jnp.zeros_like(n_h), jnp.zeros_like(n_h), hs)
 
-                a_buf, rhs_buf, count, n_g, d_g, hstate = jax.lax.cond(
-                    jnp.any(need), with_gauss, without_gauss,
-                    (a_buf, rhs_buf, count, hstate))
+                a_buf, rhs_buf, count, n_g, d_g, drop_g, hstate = \
+                    jax.lax.cond(jnp.any(need), with_gauss, without_gauss,
+                                 (a_buf, rhs_buf, count, hstate))
                 n_added = n_h + n_g
                 n_dups = d_h + d_g
+                dropped = dropped + drop_g
             else:
                 n_added = n_h
                 n_dups = d_h
@@ -313,7 +325,7 @@ class _AdaptiveLPBase:
             viol_prev = viol
             viol = jnp.where(done, 0.0, viol_new)
             return (rnd + 1, x, y, a_buf, rhs_buf, count, done, viol,
-                    viol_prev, hstate)
+                    viol_prev, dropped, hstate)
 
         def cond(state):
             rnd = state[0]
@@ -325,8 +337,9 @@ class _AdaptiveLPBase:
         # until a real solve has happened
         viol0 = jnp.zeros((bsz,), jnp.float32)
         vprev0 = jnp.full((bsz,), jnp.inf, jnp.float32)
+        drop0 = jnp.zeros((bsz,), jnp.int32)
         state = (jnp.int32(0), x0, y0, a0, r0, cnt0, done0, viol0, vprev0,
-                 h0)
+                 drop0, h0)
         final = jax.lax.while_loop(cond, body, state)
         # full final state; jitted callers slice what they need (XLA DCEs
         # the big buffers out of programs that don't fetch them)
@@ -334,13 +347,15 @@ class _AdaptiveLPBase:
 
     def _decode_impl(self, llrs) -> DecodeResult:
         bsz = llrs.shape[0]
-        rnd, x, _, _, _, count, done, _, _, _ = self._run_loop(llrs)
+        rnd, x, _, _, _, count, done, _, _, dropped, _ = \
+            self._run_loop(llrs)
         bits = (x > 0.5).astype(jnp.uint8)
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
                            axis=-1)
         success = integral & is_codeword(self._h, bits)
         return DecodeResult(bits=bits, success=success,
-                            iterations=jnp.broadcast_to(rnd, (bsz,)))
+                            iterations=jnp.broadcast_to(rnd, (bsz,)),
+                            dropped=dropped)
 
     def decode_batch(self, llrs) -> DecodeResult:
         return self._decode(llrs)
@@ -350,11 +365,12 @@ class _AdaptiveLPBase:
         rounds used (batch-wide), integrality, per-lane done flag."""
         if not hasattr(self, "_run_loop_jit"):
             self._run_loop_jit = jax.jit(self._run_loop)
-        rnd, x, _, _, _, count, done, viol, _, _ = self._run_loop_jit(llrs)
+        rnd, x, _, _, _, count, done, viol, _, dropped, _ = \
+            self._run_loop_jit(llrs)
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
                            axis=-1)
         return {"count": count, "rounds": rnd, "integral": integral,
-                "done": done, "viol": viol}
+                "done": done, "viol": viol, "dropped": dropped}
 
 
 class ALPDecoder(_AdaptiveLPBase):

@@ -26,6 +26,10 @@ class DecodeResult(NamedTuple):
     bits: jnp.ndarray       # (B, n) uint8 — hard decisions
     success: jnp.ndarray    # (B,) bool — decoder certificate
     iterations: jnp.ndarray  # (B,) int32 — iterations used (diagnostic)
+    # (B,) int32 — resource-exhaustion telemetry; decoder-specific meaning
+    # (ALP family: candidate cuts dropped by a full buffer — nonzero means
+    # max_rows/capacity silently bound, raise them). None where N/A.
+    dropped: jnp.ndarray | None = None
 
 
 @runtime_checkable

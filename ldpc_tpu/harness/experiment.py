@@ -47,6 +47,7 @@ class ExperimentResult:
     sum_hamming_wrong: int = 0
     time_sec: float = 0.0          # wall-clock decode time (whole batches)
     sum_iterations: int = 0        # extra diagnostic (not in reference)
+    sum_dropped: int = 0           # resource-exhaustion telemetry (base.py)
 
     @property
     def fer(self) -> float:
@@ -78,7 +79,7 @@ class ExperimentResult:
     def merge(self, other: "ExperimentResult") -> None:
         for f in ("total", "correct", "pseudo", "sum_hamming",
                   "sum_hamming_ok", "sum_hamming_wrong", "time_sec",
-                  "sum_iterations"):
+                  "sum_iterations", "sum_dropped"):
             setattr(self, f, getattr(self, f) + getattr(other, f))
 
 
@@ -118,6 +119,8 @@ def make_experiment_step(decoder: Decoder, h, snr: float, base_key,
             "sum_hamming_ok": c64(jnp.where(correct, hd, 0)),
             "sum_hamming_wrong": c64(jnp.where(correct, 0, hd)),
             "sum_iterations": c64(res.iterations),
+            "sum_dropped": (c64(res.dropped) if res.dropped is not None
+                            else jnp.int32(0)),
         }
 
     return jax.jit(step)
@@ -165,6 +168,8 @@ def make_multi_snr_step(decoder: Decoder, h, snrs, base_key):
             "sum_hamming_ok": seg(jnp.where(correct, hd, 0)),
             "sum_hamming_wrong": seg(jnp.where(correct, 0, hd)),
             "sum_iterations": seg(res.iterations),
+            "sum_dropped": (seg(res.dropped) if res.dropped is not None
+                            else jnp.zeros((s_count,), jnp.int32)),
         }
 
     return jax.jit(step)
@@ -245,6 +250,7 @@ def run_multi_snr_experiment(decoder: Decoder, h, codewords, snrs, key,
             sum_hamming_ok=int(agg["sum_hamming_ok"][si]),
             sum_hamming_wrong=int(agg["sum_hamming_wrong"][si]),
             sum_iterations=int(agg["sum_iterations"][si]),
+            sum_dropped=int(agg["sum_dropped"][si]),
             time_sec=elapsed / s_count))
     return results
 
@@ -318,4 +324,5 @@ def _fetch_counters(acc) -> ExperimentResult:
         pseudo=host["pseudo"], sum_hamming=host["sum_hamming"],
         sum_hamming_ok=host["sum_hamming_ok"],
         sum_hamming_wrong=host["sum_hamming_wrong"],
-        sum_iterations=host["sum_iterations"])
+        sum_iterations=host["sum_iterations"],
+        sum_dropped=host.get("sum_dropped", 0))

@@ -16,7 +16,7 @@ from .experiment import ExperimentResult
 REFERENCE_HEADER = ("Method,SNR,Sigma,FER,Time,"
                     "AvgHamming,AvgHammingCorrect,AvgHammingWrong")
 EXTENDED_HEADER = (REFERENCE_HEADER +
-                   ",Pseudo,Throughput,AvgIterations,Trials")
+                   ",Pseudo,Throughput,AvgIterations,Trials,Dropped")
 
 __all__ = ["ReportWriter", "REFERENCE_HEADER", "EXTENDED_HEADER"]
 
@@ -52,7 +52,8 @@ class ReportWriter:
             cols += [f"{res.pseudo / max(1, res.total):.12f}",
                      f"{res.throughput:.3f}",
                      f"{res.sum_iterations / max(1, res.total):.3f}",
-                     str(res.total)]
+                     str(res.total),
+                     str(res.sum_dropped)]
         self._f.write(",".join(cols) + "\n")
         self._f.flush()
 

@@ -151,3 +151,38 @@ def test_agc_alp_noiseless_and_noisy(small_h):
     valid = np.asarray(is_codeword(jnp.asarray(small_h), res_agc.bits))
     assert valid[ok].all()
     assert ok.sum() >= np.asarray(res_alp.success).sum() - 1
+
+
+def test_alp_h02_large_code_no_retuning():
+    """ALP on the 520x640 H02 code must work with derived (not hardcoded)
+    tier/capacity constants: noiseless lanes certify immediately, noisy
+    lanes run cut rounds without overflowing, and the overflow telemetry
+    reports zero drops."""
+    import jax
+    from ldpc_tpu.codes.io import read_pcm
+    from ldpc_tpu.codes.gf2 import gf2_nullspace
+    from ldpc_tpu.channel.awgn import gen_random_codewords, channel_llr
+    from ldpc_tpu.decoders.alp import ALPDecoder
+
+    h = read_pcm("data/H02.txt")
+    g, ok = gf2_nullspace(h)
+    assert ok
+    dec = ALPDecoder(h, max_rounds=3, lp_iters=60, lp_backend="xla")
+    # tier ladder derived from capacity, all 128-aligned, covers the buffer
+    assert all(t % 128 == 0 for t in dec._tiers)
+    assert dec._tiers[0] == 128 and dec._tiers[-1] < dec.capacity
+    assert dec.capacity % 128 == 0 and dec.capacity >= dec.max_rows
+
+    key = jax.random.PRNGKey(5)
+    cw = gen_random_codewords(key, g, 4)
+    # noiseless: box LP optimum is the codeword, zero cut rounds
+    llrs = jnp.asarray(np.where(np.asarray(cw) == 0, 4.0, -4.0),
+                       jnp.float32)
+    r = dec.decode_batch(llrs)
+    np.testing.assert_array_equal(np.asarray(r.bits), np.asarray(cw))
+    assert bool(jnp.all(r.success))
+    # noisy: cut rounds execute at H02 scale without drops
+    _, llrs_n = channel_llr(jax.random.fold_in(key, 1), cw, 2.0)
+    r2 = dec.decode_batch(llrs_n)
+    assert r2.bits.shape == (4, h.shape[1])
+    assert int(jnp.sum(r2.dropped)) == 0
