@@ -31,11 +31,11 @@ class AGCALPDecoder(_AdaptiveLPBase):
     def __init__(self, h, max_rows: int = 1000, max_rounds: int = 64,
                  lp_iters: int = 100, int_tol: float = 3e-2,
                  cut_tol: float = 1e-3, gauss_eps: float = 1e-3,
-                 gauss_margin: float = 0.0,
+                 gauss_margin: float = 0.0, lp_average: bool = False,
                  lp_backend: str = "auto", gauss_backend: str = "auto"):
         super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,
                          lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol,
-                         lp_backend=lp_backend)
+                         lp_backend=lp_backend, lp_average=lp_average)
         self.name = "AGC-ALP"
         self.gauss_eps = float(gauss_eps)
         self.gauss_margin = float(gauss_margin)

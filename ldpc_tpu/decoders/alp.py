@@ -132,7 +132,7 @@ class _AdaptiveLPBase:
     def __init__(self, h, max_rows: int, max_rounds: int, lp_iters: int,
                  int_tol: float, cut_tol: float = 1e-3,
                  snap_tol: float = 0.02, perturb: float = 1e-3,
-                 lp_backend: str = "auto"):
+                 lp_backend: str = "auto", lp_average: bool = False):
         h = np.asarray(h, dtype=np.uint8) % 2
         self._h = jnp.asarray(h)
         self._sup = jnp.asarray(h.astype(bool))
@@ -155,6 +155,9 @@ class _AdaptiveLPBase:
         # terminate the lane when violation improves by <20% per step of
         # the respective loop (see the done rule and ops.lp_solver)
         self.stall_ratio = 0.8
+        # PDLP-style best-of(last, chunk-average) restarts in the LP solve
+        # (halves the oscillation plateau on degenerate cut buffers)
+        self.lp_average = bool(lp_average)
         assert self.cut_tol > self.lp_tol, "cut_tol must exceed lp_tol"
         # static generic direction for the objective perturbation below
         rng = np.random.default_rng(0xC0FFEE)
@@ -303,13 +306,15 @@ class _AdaptiveLPBase:
                             c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
                             self.lp_max_iters, tol=self.lp_tol,
                             check_every=self.lp_iters, active=act,
-                            stall_ratio=self.stall_ratio)
+                            stall_ratio=self.stall_ratio,
+                            average=self.lp_average)
                     else:
                         x_t, y_t, v_t = pdhg_box_lp_fused(
                             c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
                             self.lp_max_iters, tol=self.lp_tol,
                             check_every=self.lp_iters, active=act,
                             stall_ratio=self.stall_ratio,
+                            average=self.lp_average,
                             interpret=self.lp_backend == "pallas-interpret")
                     return x_t, yy.at[:, :t].set(y_t), v_t
                 return run

@@ -46,7 +46,8 @@ def pdhg_steps(a_rows, safety: float = 0.95):
 
 def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
                 tol: float | None = None, check_every: int = 200,
-                active=None, stall_ratio: float | None = None):
+                active=None, stall_ratio: float | None = None,
+                average: bool = False):
     """Preconditioned PDHG steps, optionally tolerance-driven.
     Shapes: c,x0 (B,n); a_rows (B,R,n); b,y0 (B,R).
 
@@ -66,6 +67,11 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     the full ``iters`` budget on a plateaued batch is pure waste, and the
     ALP cut loops tolerate plateau-quality solutions (their snapped cut
     search absorbs coordinate noise far above the plateau).
+
+    ``average``: per chunk, also form the ergodic average of the chunk's
+    iterates and keep, per lane, whichever of (last, average) has the
+    smaller violation (PDLP-style restart-to-average — the average halves
+    the oscillation plateau on degenerate cut LPs).
 
     Returns (x, y) when ``tol`` is None, else (x, y, viol) with ``viol`` the
     per-lane (B,) max primal violation at exit — callers use it as the
@@ -104,6 +110,20 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     def chunk(_, carry):
         def run(carry):
             x, y, v, _ = carry
+            if average:
+                def astep(_, s):
+                    x, y, sx, sy = s
+                    x, y = step((x, y))
+                    return x, y, sx + x, sy + y
+                x, y, sx, sy = jax.lax.fori_loop(
+                    0, check_every, astep,
+                    (x, y, jnp.zeros_like(x), jnp.zeros_like(y)))
+                xa, ya = sx / check_every, sy / check_every
+                v_last, v_avg = lane_violation(x), lane_violation(xa)
+                take = (v_avg < v_last)
+                x = jnp.where(take[:, None], xa, x)
+                y = jnp.where(take[:, None], ya, y)
+                return x, y, jnp.minimum(v_avg, v_last), jnp.max(v)
             x, y = jax.lax.fori_loop(0, check_every,
                                      lambda _, s: step(s), (x, y))
             return x, y, lane_violation(x), jnp.max(v)
@@ -123,7 +143,8 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
 def pdhg_box_lp_fused(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
                       tol: float = 1e-4, check_every: int = 200,
                       interpret: bool = False, active=None,
-                      stall_ratio: float | None = None):
+                      stall_ratio: float | None = None,
+                      average: bool = False):
     """Tolerance-driven PDHG via the fused Pallas chunk kernel
     (:mod:`ldpc_tpu.ops.pallas.pdhg_kernel`): each chunk runs
     ``check_every`` iterations with the lane's constraint slice resident in
@@ -145,6 +166,7 @@ def pdhg_box_lp_fused(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
             x, y, v, _ = carry
             xo, yo, vn = pdhg_chunk_pallas(c, a_rows, b, tau, sigma, x, y,
                                            iters=check_every, active=active,
+                                           average=average,
                                            interpret=interpret)
             if active is not None:
                 vn = jnp.where(active, vn, 0.0)

@@ -66,7 +66,8 @@ def pick_group_size(bsz: int, t_rows: int, n_pad: int,
 
 
 def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
-            xo_ref, yo_ref, viol_ref, *, iters: int, group: int):
+            xo_ref, yo_ref, viol_ref, *, iters: int, group: int,
+            average: bool):
     g_sz = group
 
     def lane_viol(x_g, a_g, b_g):
@@ -89,8 +90,8 @@ def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
         sigma = sigma_ref[0]      # (G, T)
 
         def body(_, carry):
-            xs, ys = carry
-            new_xs, new_ys = [], []
+            xs, ys, sxs, sys_ = carry
+            new_xs, new_ys, new_sx, new_sy = [], [], [], []
             for g in range(g_sz):
                 a_g = a_ref[0, g]                     # (T, n_pad) VMEM
                 x_g, y_g = xs[g], ys[g]               # (1, n), (1, T)
@@ -106,22 +107,48 @@ def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
                     0.0, y_g + sigma[g:g + 1] * (ax - b[g:g + 1]))
                 new_xs.append(x_new)
                 new_ys.append(y_new)
-            return tuple(new_xs), tuple(new_ys)
+                if average:
+                    new_sx.append(sxs[g] + x_new)
+                    new_sy.append(sys_[g] + y_new)
+            if not average:
+                new_sx, new_sy = list(sxs), list(sys_)
+            return (tuple(new_xs), tuple(new_ys), tuple(new_sx),
+                    tuple(new_sy))
 
         xs0 = tuple(x_ref[0, g:g + 1, :] for g in range(g_sz))
         ys0 = tuple(y_ref[0, g:g + 1, :] for g in range(g_sz))
-        xs, ys = jax.lax.fori_loop(0, iters, body, (xs0, ys0))
+        zx0 = tuple(jnp.zeros_like(v) for v in xs0)
+        zy0 = tuple(jnp.zeros_like(v) for v in ys0)
+        xs, ys, sxs, sys_ = jax.lax.fori_loop(0, iters, body,
+                                              (xs0, ys0, zx0, zy0))
+        inv = 1.0 / float(iters)
         for g in range(g_sz):
-            xo_ref[0, g:g + 1, :] = xs[g]
-            yo_ref[0, g:g + 1, :] = ys[g]
-            viol_ref[0, 0, g] = lane_viol(xs[g], a_ref[0, g], b[g:g + 1])
+            a_g, b_g = a_ref[0, g], b[g:g + 1]
+            v_last = lane_viol(xs[g], a_g, b_g)
+            if average:
+                # PDLP-style restart candidate: the chunk's ergodic average
+                # often breaks the last-iterate oscillation plateau on
+                # degenerate cut LPs. Keep whichever (x, y) pair is more
+                # feasible, per lane.
+                x_avg = sxs[g] * inv
+                y_avg = sys_[g] * inv
+                v_avg = lane_viol(x_avg, a_g, b_g)
+                take_avg = v_avg < v_last
+                xo_ref[0, g:g + 1, :] = jnp.where(take_avg, x_avg, xs[g])
+                yo_ref[0, g:g + 1, :] = jnp.where(take_avg, y_avg, ys[g])
+                viol_ref[0, 0, g] = jnp.minimum(v_avg, v_last)
+            else:
+                xo_ref[0, g:g + 1, :] = xs[g]
+                yo_ref[0, g:g + 1, :] = ys[g]
+                viol_ref[0, 0, g] = v_last
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("iters", "interpret", "max_group"))
+                   static_argnames=("iters", "interpret", "max_group",
+                                    "average"))
 def pdhg_chunk_pallas(c, a, b, tau, sigma, x, y, *, iters: int,
                       active=None, interpret: bool = False,
-                      max_group: int = 8):
+                      max_group: int = 8, average: bool = False):
     """Run ``iters`` PDHG steps per lane with A VMEM-resident.
 
     c, tau, x: (B, n); a: (B, T, n); b, sigma, y: (B, T). T must be a
@@ -164,7 +191,8 @@ def pdhg_chunk_pallas(c, a, b, tau, sigma, x, y, *, iters: int,
                             memory_space=pltpu.SMEM)
 
     xo, yo, viol = pl.pallas_call(
-        functools.partial(_kernel, iters=iters, group=g_sz),
+        functools.partial(_kernel, iters=iters, group=g_sz,
+                          average=average),
         grid=(n_grp,),
         in_specs=[act_spec, vec_n, mat, vec_t, vec_n, vec_t, vec_n, vec_t],
         out_specs=[vec_n, vec_t,

@@ -22,7 +22,14 @@ key = jax.random.PRNGKey(239_239_239)
 cw_key, noise_key = jax.random.split(key)
 cw = np.asarray(gen_random_codewords(cw_key, g, TRIALS))
 
-dec = AGCALPDecoder(h, **kw)
+import inspect
+sig = set(inspect.signature(AGCALPDecoder.__init__).parameters)
+ctor = {k: v for k, v in kw.items() if k in sig}
+dec = AGCALPDecoder(h, **ctor)
+for k, v in kw.items():
+    if k not in sig:
+        assert hasattr(dec, k), k
+        setattr(dec, k, v)
 t0 = time.time()
 res = run_experiment(dec, h, cw, SNR, noise_key, batch_size=64)
 print(f"AGC {kw} snr={SNR}: FER={res.fer:.4f} "

@@ -118,3 +118,17 @@ def test_chunk_active_mask_skips_groups():
                                   iters=50, active=act_one, interpret=True)
     x_ref, _ = pdhg_box_lp(c, a, b, x0, y0, 50)
     np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_ref), atol=2e-5)
+
+
+def test_averaged_chunk_matches_xla():
+    """best-of(last, chunk-average) restarts: the fused kernel and the XLA
+    path must pick identical per-lane iterates."""
+    from ldpc_tpu.ops.lp_solver import pdhg_box_lp_fused
+    c, a, b, x0, y0 = _random_lp(jax.random.PRNGKey(21), bsz=4, active=32)
+    x, y, v = pdhg_box_lp_fused(c, a, b, x0, y0, iters=900, tol=1e-6,
+                                check_every=300, average=True,
+                                interpret=True)
+    x_r, y_r, v_r = pdhg_box_lp(c, a, b, x0, y0, 900, tol=1e-6,
+                                check_every=300, average=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_r), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_r), atol=3e-5)
