@@ -32,6 +32,11 @@ class DecoderConfig:
     # handful of rows); measured FER-neutral at -3 dB from 600 down to 100,
     # with ALP throughput 267 -> 672 cw/s and AGC-ALP 40 -> 133.
     lp_iters: int = 100
+    # FullLP's *total* PDHG iteration budget. Distinct from lp_iters, which
+    # became the chunk length of the adaptive solvers: FullLP solves one
+    # static LP over the whole cascaded polytope and needs the full budget
+    # up front (lp.py).
+    full_lp_iters: int = 2000
     # Integrality-certificate tolerance. The reference tests coordinates
     # against EPS=1e-8 after an *exact* dual-simplex solve (full_lp.h:44-59);
     # a first-order PDHG solve leaves up to ~1.5e-2 coordinate noise on true

@@ -25,7 +25,8 @@ def make_decoder(kind: str, h, cfg=None):
                              eps_stop=cfg.admm_eps_stop)
     if kind in ("full-lp", "fulllp"):
         from .lp import FullLPDecoder
-        return FullLPDecoder(h, iters=cfg.lp_iters, int_tol=cfg.lp_int_tol)
+        return FullLPDecoder(h, iters=cfg.full_lp_iters,
+                             int_tol=cfg.lp_int_tol)
     if kind == "alp":
         from .alp import ALPDecoder
         return ALPDecoder(h, max_rounds=cfg.lp_max_rounds, lp_iters=cfg.lp_iters,

@@ -90,7 +90,7 @@ def append_cuts(a_buf, rhs_buf, count, rows, rhs, add,
     violations of ~solver-tolerance would otherwise re-add the same cut
     every round until the buffer bursts).
 
-    Returns (a_buf, rhs_buf, count, n_added, hash_state).
+    Returns (a_buf, rhs_buf, count, n_added, n_dup, n_dropped, hash_state).
     """
     cap = a_buf.shape[1]
     bsz = a_buf.shape[0]
@@ -220,7 +220,9 @@ class _AdaptiveLPBase:
 
         def body(state):
             (rnd, x, y, a_buf, rhs_buf, count, done, viol, viol_prev,
-             dropped, hstate) = state
+             dropped, lane_rounds, hstate) = state
+            # per-lane diagnostic: rounds in which this lane actually worked
+            lane_rounds = lane_rounds + (~done).astype(jnp.int32)
             eligible = ~done & (count < self.max_rows)
             # Snap near-integral coordinates to exactly 0/1 for cut *search*
             # (LP state itself is untouched). The simplex the reference uses
@@ -327,10 +329,17 @@ class _AdaptiveLPBase:
             keep = done[:, None]
             x = jnp.where(keep, x, x_new)
             y = jnp.where(keep, y, y_new)
-            viol_prev = viol
+            # viol_prev must stay inert (inf) until TWO real solves exist:
+            # round 0's entry violation is the trivial viol0=0 of the
+            # unconstrained box optimum, and 0.8*0 = 0 would make the round-1
+            # stagnation test trivially true — terminating any lane whose
+            # first re-search found no cut after a single (possibly
+            # plateau-quality) solve. Round 2 makes the first real
+            # solve-vs-solve comparison.
+            viol_prev = jnp.where(rnd == 0, jnp.inf, viol)
             viol = jnp.where(done, 0.0, viol_new)
             return (rnd + 1, x, y, a_buf, rhs_buf, count, done, viol,
-                    viol_prev, dropped, hstate)
+                    viol_prev, dropped, lane_rounds, hstate)
 
         def cond(state):
             rnd = state[0]
@@ -343,23 +352,23 @@ class _AdaptiveLPBase:
         viol0 = jnp.zeros((bsz,), jnp.float32)
         vprev0 = jnp.full((bsz,), jnp.inf, jnp.float32)
         drop0 = jnp.zeros((bsz,), jnp.int32)
+        rounds0 = jnp.zeros((bsz,), jnp.int32)
         state = (jnp.int32(0), x0, y0, a0, r0, cnt0, done0, viol0, vprev0,
-                 drop0, h0)
+                 drop0, rounds0, h0)
         final = jax.lax.while_loop(cond, body, state)
         # full final state; jitted callers slice what they need (XLA DCEs
         # the big buffers out of programs that don't fetch them)
         return final
 
     def _decode_impl(self, llrs) -> DecodeResult:
-        bsz = llrs.shape[0]
-        rnd, x, _, _, _, count, done, _, _, dropped, _ = \
+        _, x, _, _, _, count, done, _, _, dropped, lane_rounds, _ = \
             self._run_loop(llrs)
         bits = (x > 0.5).astype(jnp.uint8)
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
                            axis=-1)
         success = integral & is_codeword(self._h, bits)
         return DecodeResult(bits=bits, success=success,
-                            iterations=jnp.broadcast_to(rnd, (bsz,)),
+                            iterations=lane_rounds,
                             dropped=dropped)
 
     def decode_batch(self, llrs) -> DecodeResult:
@@ -367,10 +376,10 @@ class _AdaptiveLPBase:
 
     def stats(self, llrs):
         """Cut-loop telemetry for tuning: per-lane final active-cut count,
-        rounds used (batch-wide), integrality, per-lane done flag."""
+        per-lane rounds worked, integrality, per-lane done flag."""
         if not hasattr(self, "_run_loop_jit"):
             self._run_loop_jit = jax.jit(self._run_loop)
-        rnd, x, _, _, _, count, done, viol, _, dropped, _ = \
+        _, x, _, _, _, count, done, viol, _, dropped, rnd, _ = \
             self._run_loop_jit(llrs)
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
                            axis=-1)

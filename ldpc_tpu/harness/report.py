@@ -29,12 +29,17 @@ class ReportWriter:
     """Streams one row per (decoder, SNR) as results complete, so a crashed
     sweep retains finished rows (main.cpp:79-86 semantics)."""
 
-    def __init__(self, path: str, extended: bool = False):
+    def __init__(self, path: str, extended: bool = False,
+                 resume: bool = False):
+        """``resume=False`` (default) truncates any prior file — re-running
+        a sweep replaces its artifact rather than appending a duplicate
+        block. ``resume=True`` appends (crash recovery / --snrs fill-in)."""
         self.path = path
         self.extended = extended
         header = EXTENDED_HEADER if extended else REFERENCE_HEADER
-        write_header = not os.path.exists(path) or os.path.getsize(path) == 0
-        self._f = open(path, "a")
+        write_header = (not resume or not os.path.exists(path)
+                        or os.path.getsize(path) == 0)
+        self._f = open(path, "a" if resume else "w")
         if write_header:
             self._f.write(header + "\n")
             self._f.flush()

@@ -110,7 +110,10 @@ def calculate_gauss_batched(h, u, eps: float = EPS, active=None,
     h_perm = jnp.einsum("ik,bjk->bij", h.astype(jnp.float32), perm,
                         preferred_element_type=jnp.float32)
     if backend == "auto":
-        backend = ("pallas" if jax.default_backend() == "tpu" else "xla")
+        from .pallas.gauss_kernel import gauss_fits_vmem
+        m = h.shape[0]
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and gauss_fits_vmem(m, n) else "xla")
     if backend == "xla":
         he = gf2_eliminate_ordered((h_perm > 0.5).astype(jnp.uint8))
     else:

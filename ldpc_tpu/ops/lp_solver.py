@@ -73,10 +73,10 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     smaller violation (PDLP-style restart-to-average — the average halves
     the oscillation plateau on degenerate cut LPs).
 
-    Returns (x, y) when ``tol`` is None, else (x, y, viol) with ``viol`` the
-    per-lane (B,) max primal violation at exit — callers use it as the
-    per-lane "LP actually converged" certificate. Warm-startable: pass
-    previous (x, y).
+    Returns (x, y) when ``tol`` is None, else (x, y, err) with ``err`` the
+    per-lane (B,) combined max(primal violation, relative duality gap) at
+    exit — callers use it as the per-lane "LP actually converged (feasible
+    AND optimal)" certificate. Warm-startable: pass previous (x, y).
     """
     tau, sigma = pdhg_steps(a_rows, safety)
 
@@ -93,10 +93,22 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     if tol is None:
         return jax.lax.fori_loop(0, iters, lambda _, xy: step(xy), (x0, y0))
 
-    def lane_violation(x):
+    def lane_err(x, y):
+        """Per-lane max(primal violation, relative duality gap). Primal
+        feasibility alone is insufficient: a warm-started iterate can be
+        feasible yet far from optimal, and ALP cut search at a suboptimal
+        point generates junk cuts (see pdhg_kernel.lane_err)."""
         ax = jnp.einsum("brn,bn->br", a_rows, x,
                         preferred_element_type=jnp.float32)
-        v = jnp.max(jnp.maximum(ax - b, 0.0), axis=-1)
+        viol = jnp.max(jnp.maximum(ax - b, 0.0), axis=-1)
+        aty = jnp.einsum("brn,br->bn", a_rows, y,
+                         preferred_element_type=jnp.float32)
+        rc = c + aty
+        pobj = jnp.sum(c * x, axis=-1)
+        dobj = (-jnp.sum(b * y, axis=-1)
+                + jnp.sum(jnp.minimum(rc, 0.0), axis=-1))
+        gap = (pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+        v = jnp.maximum(viol, gap)
         if active is not None:
             v = jnp.where(active, v, 0.0)
         return v
@@ -119,14 +131,14 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
                     0, check_every, astep,
                     (x, y, jnp.zeros_like(x), jnp.zeros_like(y)))
                 xa, ya = sx / check_every, sy / check_every
-                v_last, v_avg = lane_violation(x), lane_violation(xa)
+                v_last, v_avg = lane_err(x, y), lane_err(xa, ya)
                 take = (v_avg < v_last)
                 x = jnp.where(take[:, None], xa, x)
                 y = jnp.where(take[:, None], ya, y)
                 return x, y, jnp.minimum(v_avg, v_last), jnp.max(v)
             x, y = jax.lax.fori_loop(0, check_every,
                                      lambda _, s: step(s), (x, y))
-            return x, y, lane_violation(x), jnp.max(v)
+            return x, y, lane_err(x, y), jnp.max(v)
         x, y, v, vprev = carry
         vmax = jnp.max(v)
         go = vmax > tol
@@ -136,7 +148,7 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
 
     x, y, v, _ = jax.lax.fori_loop(
         0, n_chunks, chunk,
-        (x0, y0, lane_violation(x0), jnp.float32(jnp.inf)))
+        (x0, y0, lane_err(x0, y0), jnp.float32(jnp.inf)))
     return x, y, v
 
 

@@ -47,6 +47,16 @@ def pick_gauss_group(bsz: int, n: int, m_pad: int, max_group: int = 8) -> int:
     return 1
 
 
+def gauss_fits_vmem(m: int, n: int) -> bool:
+    """Whether even a single lane's padded matrix (+ ~3 working copies)
+    fits the kernel's VMEM budget. Callers on the "auto" path should fall
+    back to the XLA elimination when this is False — a G=1 launch beyond
+    budget dies in an opaque Mosaic compile error."""
+    n_pad = -(-n // 8) * 8
+    m_pad = -(-m // 128) * 128
+    return 3 * n_pad * m_pad * 4 <= _VMEM_BUDGET
+
+
 def _xor(a, b):
     return a + b - 2.0 * a * b
 

@@ -24,8 +24,9 @@ iteration that pipeline through the systolic array back-to-back (measured
 ~4-6x at T<=512 on v5e). G is chosen per row-tier so the group's slices fit
 the VMEM budget alongside double buffering.
 
-After the loop the kernel emits each lane's max primal violation
-``max(A x - b, 0)`` so the caller's tolerance loop needs no extra matvec,
+After the loop the kernel emits each lane's combined convergence error
+``max(max(A x - b, 0), relative duality gap)`` so the caller's tolerance
+loop needs no extra matvec,
 and an ``active`` group mask lets converged/frozen lane groups skip the
 entire chunk (their DMA still streams, but the 2G*iters matmuls do not run —
 in the ALP cut loops most lanes finish rounds before the stragglers).
@@ -70,10 +71,22 @@ def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
             average: bool):
     g_sz = group
 
-    def lane_viol(x_g, a_g, b_g):
+    def lane_err(x_g, y_g, c_g, a_g, b_g):
+        """max(primal violation, relative duality gap) — primal feasibility
+        alone is a trap: a warm-started PDHG iterate can be feasible long
+        before it is *optimal*, and the ALP cut search at a suboptimal point
+        emits cuts that do not separate the true LP optimum (budget-burning
+        junk cuts — the round-2 AGC-ALP FER gap)."""
         ax = jax.lax.dot_general(x_g, a_g, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        return jnp.max(jnp.maximum(ax - b_g, 0.0))
+        viol = jnp.max(jnp.maximum(ax - b_g, 0.0))
+        aty = jax.lax.dot_general(y_g, a_g, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        rc = c_g + aty
+        pobj = jnp.sum(c_g * x_g)
+        dobj = -jnp.sum(b_g * y_g) + jnp.sum(jnp.minimum(rc, 0.0))
+        gap = (pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+        return jnp.maximum(viol, gap)
 
     @pl.when(act_ref[0, 0, 0] == 0)
     def _skip():
@@ -123,16 +136,16 @@ def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
                                               (xs0, ys0, zx0, zy0))
         inv = 1.0 / float(iters)
         for g in range(g_sz):
-            a_g, b_g = a_ref[0, g], b[g:g + 1]
-            v_last = lane_viol(xs[g], a_g, b_g)
+            a_g, b_g, c_g = a_ref[0, g], b[g:g + 1], c[g:g + 1]
+            v_last = lane_err(xs[g], ys[g], c_g, a_g, b_g)
             if average:
                 # PDLP-style restart candidate: the chunk's ergodic average
                 # often breaks the last-iterate oscillation plateau on
-                # degenerate cut LPs. Keep whichever (x, y) pair is more
-                # feasible, per lane.
+                # degenerate cut LPs. Keep whichever (x, y) pair scores
+                # better on the combined (violation, gap) metric, per lane.
                 x_avg = sxs[g] * inv
                 y_avg = sys_[g] * inv
-                v_avg = lane_viol(x_avg, a_g, b_g)
+                v_avg = lane_err(x_avg, y_avg, c_g, a_g, b_g)
                 take_avg = v_avg < v_last
                 xo_ref[0, g:g + 1, :] = jnp.where(take_avg, x_avg, xs[g])
                 yo_ref[0, g:g + 1, :] = jnp.where(take_avg, y_avg, ys[g])

@@ -8,6 +8,18 @@ from ldpc_tpu.ops.lp_solver import pdhg_box_lp, pdhg_steps
 from ldpc_tpu.ops.pallas.pdhg_kernel import pdhg_chunk_pallas
 
 
+def _combined_err(c, a, b, x, y):
+    """Recompute the solvers' convergence metric:
+    max(primal violation, relative duality gap) per lane."""
+    ax = jnp.einsum("brn,bn->br", a, x)
+    viol = jnp.max(jnp.maximum(ax - b, 0.0), axis=1)
+    rc = c + jnp.einsum("brn,br->bn", a, y)
+    pobj = jnp.sum(c * x, axis=1)
+    dobj = -jnp.sum(b * y, axis=1) + jnp.sum(jnp.minimum(rc, 0.0), axis=1)
+    gap = (pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+    return jnp.maximum(viol, gap)
+
+
 def _random_lp(key, bsz=3, t_rows=128, n=280, active=40):
     """Random signed-row LP instances resembling ALP cut buffers."""
     ks = jax.random.split(key, 4)
@@ -33,9 +45,8 @@ def test_chunk_matches_xla_fixed_iters():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
                                atol=2e-4)
-    # reported violation matches a recomputed one
-    ax = jnp.einsum("brn,bn->br", a, x_k)
-    expect = jnp.max(jnp.maximum(ax - b, 0.0), axis=1)
+    # reported convergence error matches a recomputed one
+    expect = _combined_err(c, a, b, x_k, y_k)
     np.testing.assert_allclose(np.asarray(viol), np.asarray(expect),
                                atol=1e-5)
 
@@ -47,11 +58,10 @@ def test_fused_solver_reaches_tolerance():
                                    check_every=250, interpret=True)
     x_ref, y_ref, viol_ref = pdhg_box_lp(c, a, b, x0, y0, 3000, tol=1e-3,
                                          check_every=250)
-    # per-lane violation report matches a recompute
-    ax_l = jnp.einsum("brn,bn->br", a, x)
+    # per-lane convergence-error report matches a recompute
     np.testing.assert_allclose(
-        np.asarray(viol), np.asarray(jnp.max(jnp.maximum(ax_l - b, 0.0),
-                                             axis=1)), atol=1e-5)
+        np.asarray(viol), np.asarray(_combined_err(c, a, b, x, y)),
+        atol=1e-5)
     ax = jnp.einsum("brn,bn->br", a, x)
     ax_ref = jnp.einsum("brn,bn->br", a, x_ref)
     # same tolerance-driven trajectory: violation no worse than XLA's (+eps)
