@@ -177,6 +177,41 @@ def decode_qp_admm(tables: dict, n: int, llrs, alpha, mu,
     This form is vmappable over a leading proposals axis (the matrix
     optimizer evaluates a population of H candidates in one program).
     """
+    q, feasible, v0, z0, y0, iter_fn = _admm_setup(
+        tables, n, llrs, alpha, mu, eps_stop)
+    bsz = llrs.shape[0]
+
+    def body(state):
+        it, v, z, yl, done, done_it = state
+        v, z, yl, now_done = iter_fn(q, v, z, yl, done)
+        done_it = jnp.where(now_done, it + 1, done_it)  # per-lane count
+        done = done | now_done
+        return it + 1, v, z, yl, done, done_it
+
+    def cond(state):
+        it, _, _, _, done, _ = state
+        return (it < max_iter) & ~jnp.all(done)
+
+    init = (jnp.int32(0), v0, z0, y0, jnp.zeros((bsz,), bool),
+            jnp.full((bsz,), max_iter, jnp.int32))
+    it, v, _, _, done, done_it = jax.lax.while_loop(cond, body, init)
+
+    bits = (v[:, :n] > 0.5).astype(jnp.uint8)
+    bits = jnp.where(feasible, bits, 0)
+    success = jnp.full((bsz,), True) & feasible     # qp_admm.h:166
+    return DecodeResult(bits=bits, success=success, iterations=done_it)
+
+
+def _admm_setup(tables: dict, n: int, llrs, alpha, mu, eps_stop):
+    """Shared ADMM iteration builder for the batched and streaming paths.
+
+    Returns ``(q, feasible, v0, z0, y0, iter_fn)`` with
+    ``iter_fn(q, v, z, yl, done) -> (v, z, yl, now_done)`` performing
+    exactly one reference iteration (``qp_admm.h:130-163``) with done-lane
+    freezing (the scalar code's per-trial ``break``). ``q`` is an explicit
+    argument (not closed over) so the streaming path can carry refilled
+    per-lane objectives through its state.
+    """
     con_var, con_coef = tables["con_var"], tables["con_coef"]
     b_vec = tables["b"]
     var_con, var_coef = tables["var_con"], tables["var_coef"]
@@ -211,8 +246,7 @@ def decode_qp_admm(tables: dict, n: int, llrs, alpha, mu,
         g = jnp.take(vpad, con_var.reshape(-1), axis=1).reshape(bsz, n_con, 3)
         return jnp.sum(g * con_coef[None], axis=-1)
 
-    def body(state):
-        it, v, z, yl, done, done_it = state
+    def iter_fn(q, v, z, yl, done):
         t = yl + mu * (z - b_vec[None])
         bq = q + alpha / 2.0 + gather_con(t)
         v_new = jnp.clip(bq * inv_coef[None], 0.0, 1.0)
@@ -225,22 +259,9 @@ def decode_qp_admm(tables: dict, n: int, llrs, alpha, mu,
         z = jnp.where(keep, z, z_new)
         yl = jnp.where(keep, yl, y_new)
         now_done = ~done & (sum2 < eps_stop)
-        done_it = jnp.where(now_done, it + 1, done_it)  # per-lane count
-        done = done | now_done
-        return it + 1, v, z, yl, done, done_it
+        return v, z, yl, now_done
 
-    def cond(state):
-        it, _, _, _, done, _ = state
-        return (it < max_iter) & ~jnp.all(done)
-
-    init = (jnp.int32(0), v0, z0, y0, jnp.zeros((bsz,), bool),
-            jnp.full((bsz,), max_iter, jnp.int32))
-    it, v, _, _, done, done_it = jax.lax.while_loop(cond, body, init)
-
-    bits = (v[:, :n] > 0.5).astype(jnp.uint8)
-    bits = jnp.where(feasible, bits, 0)
-    success = jnp.full((bsz,), True) & feasible     # qp_admm.h:166
-    return DecodeResult(bits=bits, success=success, iterations=done_it)
+    return q, feasible, v0, z0, y0, iter_fn
 
 
 class QPADMMDecoder:
@@ -292,3 +313,66 @@ class QPADMMDecoder:
     def decode_batch_params(self, llrs, alpha, mu) -> DecodeResult:
         """Traced-parameter entry point for the (alpha, mu) grid search."""
         return self._decode_params(llrs, alpha, mu)
+
+    # ------------------------------------------------------------------
+    # Streaming protocol (harness.experiment.run_streaming_experiment):
+    # the batched decode's lax.while_loop runs the WHOLE batch to the
+    # slowest lane's convergence — one stubborn 10000-iteration lane stalls
+    # every other lane in the batch (the round-2 285 cw/s plateau). The
+    # streaming harness instead runs fixed-size chunks, drains converged
+    # lanes between chunks, and refills their slots from the trial stream,
+    # so steady-state cost per trial approaches mean-iterations, not
+    # max-iterations. Per-lane numerics are identical to decode_batch:
+    # the same _admm_setup iter_fn with per-lane freezing.
+    stream_chunk_iters = 512
+
+    def stream_init(self, llrs) -> dict:
+        """Fresh per-lane solver state for a batch of LLRs (jit-safe)."""
+        q, _, v0, z0, y0, _ = _admm_setup(
+            self.tables, self.n, llrs, self.alpha, self.mu, self.eps_stop)
+        bsz = llrs.shape[0]
+        return {"q": q, "v": v0, "z": z0, "yl": y0,
+                "done": jnp.zeros((bsz,), bool),
+                "it": jnp.zeros((bsz,), jnp.int32)}
+
+    def stream_chunk(self, state: dict) -> dict:
+        """Run up to ``stream_chunk_iters`` iterations; freeze done lanes.
+
+        A lane is done when converged (``sum2 < eps_stop``) or its own
+        iteration count reaches ``max_iter`` — per-lane counts, unlike the
+        batch-global counter of ``decode_batch`` (same resulting values:
+        frozen lanes never advance their count).
+        """
+        _, _, _, _, _, iter_fn = _admm_setup(
+            self.tables, self.n, state["q"][:, :self.n],
+            self.alpha, self.mu, self.eps_stop)
+        q = state["q"]
+
+        def body(carry):
+            k, v, z, yl, done, it = carry
+            v, z, yl, now_done = iter_fn(q, v, z, yl, done)
+            it = it + (~done).astype(jnp.int32)
+            done = done | now_done | (it >= self.max_iter)
+            return k + 1, v, z, yl, done, it
+
+        def cond(carry):
+            k, _, _, _, done, _ = carry
+            return (k < self.stream_chunk_iters) & ~jnp.all(done)
+
+        _, v, z, yl, done, it = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), state["v"], state["z"], state["yl"],
+                         state["done"], state["it"]))
+        return {"q": q, "v": v, "z": z, "yl": yl, "done": done, "it": it}
+
+    def stream_done(self, state: dict):
+        return state["done"]
+
+    def stream_finish(self, state: dict) -> DecodeResult:
+        e = self._e
+        e_min = jnp.min(jnp.where(e > 0, e, jnp.inf))
+        feasible = e_min * self.mu > self.alpha     # qp_admm.h:108-114
+        bits = (state["v"][:, :self.n] > 0.5).astype(jnp.uint8)
+        bits = jnp.where(feasible, bits, 0)
+        success = jnp.full(bits.shape[:1], True) & feasible  # qp_admm.h:166
+        return DecodeResult(bits=bits, success=success,
+                            iterations=state["it"])

@@ -144,6 +144,9 @@ class _AdaptiveLPBase:
         self.cut_tol = float(cut_tol)
         self.snap_tol = float(snap_tol)
         self.perturb = float(perturb)
+        # reduced-cost crossover threshold for the cut-search point
+        # (relative to mean |c|); 0 disables. See the body's polish block.
+        self.polish_tol = 0.0
         # adaptive inner-solve budget: chunks of lp_iters up to lp_max_iters,
         # stopping when the worst batch violation is below lp_tol. The cut
         # threshold must exceed the solve tolerance (cut_tol > lp_tol), else
@@ -232,6 +235,25 @@ class _AdaptiveLPBase:
             # especially AGC's dense Gaussian-eliminated rows.
             x_s = jnp.where(x < self.snap_tol, 0.0,
                             jnp.where(x > 1.0 - self.snap_tol, 1.0, x))
+            if self.polish_tol > 0.0:
+                # Reduced-cost crossover for the cut-search point: at an
+                # exact vertex optimum (what the reference's dual simplex
+                # returns), complementary slackness pins every coordinate
+                # with a signed reduced cost rc = c + A^T y to its bound
+                # (rc > 0 -> 0, rc < 0 -> 1); only basic coordinates
+                # (rc ~ 0) are genuinely fractional. The dual signal is far
+                # sharper than the primal value-snap above: a plateau-noisy
+                # x_j ~ 0.3 with clearly positive rc_j is really 0, and
+                # mis-placed coordinates are exactly what makes the odd-set
+                # search emit budget-burning junk cuts on AGC's dense
+                # gauss rows.
+                aty = jnp.einsum("brn,br->bn", a_buf, y,
+                                 preferred_element_type=jnp.float32)
+                rc = c + aty
+                delta = self.polish_tol * jnp.mean(jnp.abs(c), axis=1,
+                                                   keepdims=True)
+                x_s = jnp.where(rc > delta, 0.0,
+                                jnp.where(rc < -delta, 1.0, x_s))
             rows, rhs, add = alp_cut_candidates(self._sup, x_s, self.cut_tol)
             add_h = add & eligible[:, None]
             a_buf, rhs_buf, count, n_h, d_h, drop_h, hstate = append_cuts(

@@ -32,7 +32,7 @@ from ..codes.gf2 import is_codeword
 from ..decoders.base import Decoder
 
 __all__ = ["ExperimentResult", "run_experiment", "make_experiment_step",
-           "run_multi_snr_experiment"]
+           "run_multi_snr_experiment", "run_streaming_experiment"]
 
 
 @dataclass
@@ -257,13 +257,25 @@ def run_multi_snr_experiment(decoder: Decoder, h, codewords, snrs, key,
 
 def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
                    batch_size: int = 1024, sharding=None,
-                   warmup: bool = True) -> ExperimentResult:
+                   warmup: bool = True,
+                   streaming: str | bool = "auto") -> ExperimentResult:
     """Run FER estimation over all ``codewords`` at one SNR.
 
     ``codewords``: (T, n) uint8 (host or device). Trials are processed in
     fixed-size batches (the last batch is padded; padded lanes are dropped
     from the counters by masking through trial_idx < T).
+
+    ``streaming``: decoders exposing the streaming protocol are run through
+    :func:`run_streaming_experiment` (converged-lane draining — the batched
+    path stalls whole batches on straggler lanes). "auto" enables it on a
+    single device when the trial stream is long enough to matter.
     """
+    if streaming == "auto":
+        streaming = (sharding is None and hasattr(decoder, "stream_init")
+                     and len(codewords) >= 2 * batch_size)
+    if streaming:
+        return run_streaming_experiment(decoder, h, codewords, snr, key,
+                                        batch_size=batch_size, warmup=warmup)
     cw = np.asarray(codewords, dtype=np.uint8)
     t_total, n = cw.shape
     step = make_experiment_step(decoder, h, snr, key)
@@ -308,6 +320,123 @@ def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
             acc, n_acc = None, 0
     if acc is not None:
         result.merge(_fetch_counters(acc))
+    result.time_sec = time.perf_counter() - t_start
+    return result
+
+
+def run_streaming_experiment(decoder, h, codewords, snr: float, key,
+                             batch_size: int = 256, fetch_every: int = 4,
+                             warmup: bool = True) -> ExperimentResult:
+    """FER estimation with converged-lane draining (straggler fix).
+
+    The reference's pthread work queue (``experiment.h:86-93``) gives every
+    thread a new trial the moment it finishes one. ``run_experiment``'s
+    batched analogue loses that property for iterative decoders whose
+    ``decode_batch`` runs a whole-batch ``lax.while_loop``: one stubborn
+    lane holds the other B-1 at its max_iter. This runner restores it
+    on-device: decoders exposing the streaming protocol (``stream_init`` /
+    ``stream_chunk`` / ``stream_done`` / ``stream_finish``) are advanced in
+    fixed-iteration chunks; after each chunk, finished lanes are classified
+    into device-side counters and their slots refilled with fresh trials
+    (channel generated on-device from the codeword table via per-trial
+    ``fold_in`` — identical noise to the batched path, so per-trial decode
+    results are bit-identical). The host only polls a scalar active-lane
+    count every ``fetch_every`` chunks (~one 27 ms tunnel RTT each).
+    """
+    cw = np.asarray(codewords, dtype=np.uint8)
+    t_total, n = cw.shape
+    h_dev = jnp.asarray(np.asarray(h), jnp.uint8)
+    cw_dev = jnp.asarray(cw)
+    sigma = float(np.sqrt(float(llr_variance(snr))))
+    inv_var = float(2.0 / float(llr_variance(snr)))
+    bsz = int(batch_size)
+
+    def make_lane(idx):
+        """(B,) trial indices -> (llrs, codeword bits, channel hamming)."""
+        safe = jnp.clip(idx, 0, t_total - 1)
+        cwb = jnp.take(cw_dev, safe, axis=0)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(safe)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (n,), jnp.float32))(keys)
+        y = bpsk(cwb) + sigma * noise
+        hd = jnp.sum(jnp.where(cwb == 0, y <= 0, y > 0),
+                     axis=-1).astype(jnp.int32)
+        return inv_var * y, cwb, hd
+
+    zero_counters = {k: jnp.int32(0) for k in (
+        "total", "correct", "pseudo", "sum_hamming", "sum_hamming_ok",
+        "sum_hamming_wrong", "sum_iterations", "sum_dropped")}
+
+    def start():
+        idx0 = jnp.arange(bsz, dtype=jnp.int32)
+        llrs, cwb, hd = make_lane(idx0)
+        st = decoder.stream_init(llrs)
+        active = idx0 < t_total
+        # lanes beyond the trial count start frozen
+        st["done"] = st["done"] | ~active
+        return (st, idx0, cwb, hd, active, jnp.int32(min(bsz, t_total)),
+                dict(zero_counters))
+
+    def step(carry):
+        st, idx, cwb, hd, active, consumed, counters = carry
+        st = decoder.stream_chunk(st)
+        fin = decoder.stream_done(st) & active
+        res = decoder.stream_finish(st)
+        valid = res.success & is_codeword(h_dev, res.bits)
+        match = jnp.all(res.bits == cwb, axis=-1)
+        correct = valid & match & fin
+        pseudo = valid & ~match & fin
+        c32 = lambda x: jnp.sum(x.astype(jnp.int32))
+        counters = {
+            "total": counters["total"] + c32(fin),
+            "correct": counters["correct"] + c32(correct),
+            "pseudo": counters["pseudo"] + c32(pseudo),
+            "sum_hamming": counters["sum_hamming"]
+                + c32(jnp.where(fin, hd, 0)),
+            "sum_hamming_ok": counters["sum_hamming_ok"]
+                + c32(jnp.where(correct, hd, 0)),
+            "sum_hamming_wrong": counters["sum_hamming_wrong"]
+                + c32(jnp.where(fin & ~correct, hd, 0)),
+            "sum_iterations": counters["sum_iterations"]
+                + c32(jnp.where(fin, res.iterations, 0)),
+            "sum_dropped": counters["sum_dropped"]
+                + (c32(jnp.where(fin, res.dropped, 0))
+                   if res.dropped is not None else 0),
+        }
+        # refill finished slots with the next trials from the stream
+        rank = jnp.cumsum(fin.astype(jnp.int32))
+        new_idx = consumed + rank - 1
+        idx = jnp.where(fin, new_idx, idx)
+        active = jnp.where(fin, new_idx < t_total, active)
+        consumed = consumed + rank[-1]
+        llrs, cwb_new, hd_new = make_lane(idx)
+        fresh = decoder.stream_init(llrs)
+        st = jax.tree.map(
+            lambda f, o: jnp.where(
+                fin.reshape((bsz,) + (1,) * (o.ndim - 1)), f, o), fresh, st)
+        cwb = jnp.where(fin[:, None], cwb_new, cwb)
+        hd = jnp.where(fin, hd_new, hd)
+        # inactive lanes stay frozen through future chunks
+        st["done"] = st["done"] | ~active
+        return (st, idx, cwb, hd, active, consumed, counters), c32(active)
+
+    start_j = jax.jit(start)
+    step_j = jax.jit(step, donate_argnums=0)
+
+    if warmup:
+        carry = start_j()
+        jax.device_get(step_j(carry)[1])  # compile both programs
+
+    t_start = time.perf_counter()
+    carry = start_j()
+    n_active = None
+    while True:
+        for _ in range(fetch_every):
+            carry, n_active = step_j(carry)
+        if int(jax.device_get(n_active)) == 0:
+            break
+    counters = carry[-1]
+    result = _fetch_counters(counters)
     result.time_sec = time.perf_counter() - t_start
     return result
 

@@ -83,3 +83,31 @@ def test_report_format(tmp_path, small_h):
     assert np.isclose(float(cells[5]), 5.0)       # AvgHamming
     assert np.isclose(float(cells[6]), 300 / 80)  # AvgHammingCorrect
     assert np.isclose(float(cells[7]), 200 / 20)  # AvgHammingWrong
+
+
+def test_streaming_matches_batched(small_h):
+    """The streaming (drain-and-refill) harness must produce the exact
+    counters of the batched path: identical per-trial noise (index-derived
+    keys) and identical per-lane solver numerics (shared _admm_setup
+    iter_fn), so only scheduling differs."""
+    from ldpc_tpu.decoders.admm import QPADMMDecoder
+    g, _ = gf2_nullspace(small_h)
+    key = jax.random.PRNGKey(4)
+    cw = np.asarray(gen_random_codewords(key, g, 90))
+    dec = QPADMMDecoder(small_h, max_iter=600)
+    dec.stream_chunk_iters = 64
+    r_b = run_experiment(dec, small_h, cw, snr=0.0, key=key,
+                         batch_size=32, streaming=False)
+    r_s = run_experiment(dec, small_h, cw, snr=0.0, key=key,
+                         batch_size=32, streaming=True)
+    assert r_s.total == 90
+    assert (r_s.correct, r_s.pseudo, r_s.sum_hamming, r_s.sum_hamming_ok,
+            r_s.sum_hamming_wrong, r_s.sum_iterations) == \
+           (r_b.correct, r_b.pseudo, r_b.sum_hamming, r_b.sum_hamming_ok,
+            r_b.sum_hamming_wrong, r_b.sum_iterations)
+    # trial count not divisible by batch: padded tail lanes must not leak
+    r_s2 = run_experiment(dec, small_h, cw[:70], snr=0.0, key=key,
+                          batch_size=32, streaming=True)
+    r_b2 = run_experiment(dec, small_h, cw[:70], snr=0.0, key=key,
+                          batch_size=32, streaming=False)
+    assert r_s2.total == 70 and r_s2.correct == r_b2.correct
