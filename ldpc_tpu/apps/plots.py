@@ -77,16 +77,59 @@ def plot_compare(data_a, data_b, label_a: str, label_b: str, column: str,
     plt.close(fig)
 
 
+def plot_grid_heatmap(csv_path: str, out_path: str):
+    """(alpha, mu) FER heatmap from a qpadmm_grid --grid-out CSV."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    alphas, mus, fers = [], [], []
+    with open(csv_path) as f:
+        next(f)
+        for line in f:
+            a, m, v = line.strip().split(",")
+            alphas.append(float(a)); mus.append(float(m))
+            fers.append(float(v))
+    a_ax = sorted(set(alphas))
+    m_ax = sorted(set(mus))
+    z = np.ones((len(a_ax), len(m_ax)))
+    ai = {a: i for i, a in enumerate(a_ax)}
+    mi = {m: i for i, m in enumerate(m_ax)}
+    for a, m, v in zip(alphas, mus, fers):
+        z[ai[a], mi[m]] = v
+    best = int(np.argmin(z))
+    bi, bj = divmod(best, len(m_ax))
+    fig, ax = plt.subplots(figsize=(7, 6))
+    im = ax.imshow(z, origin="lower", aspect="auto",
+                   extent=(m_ax[0], m_ax[-1], a_ax[0], a_ax[-1]),
+                   cmap="viridis")
+    ax.plot(m_ax[bj], a_ax[bi], "r*", markersize=14,
+            label=f"best ({a_ax[bi]:.2f}, {m_ax[bj]:.2f}) "
+                  f"FER={z[bi, bj]:.3f}")
+    ax.set_xlabel("mu"); ax.set_ylabel("alpha")
+    ax.set_title("QP-ADMM (alpha, mu) grid FER")
+    ax.legend(loc="upper right")
+    fig.colorbar(im, ax=ax, label="FER")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("report")
     p.add_argument("--compare", default=None,
                    help="second report for before/after plots")
+    p.add_argument("--grid", default=None,
+                   help="qpadmm_grid CSV for an (alpha, mu) FER heatmap")
     p.add_argument("--out", default="plots")
     p.add_argument("--fmt", default="png", choices=("png", "eps"))
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.grid:
+        plot_grid_heatmap(args.grid,
+                          os.path.join(args.out, f"qpadmm_grid.{args.fmt}"))
     data = read_report(args.report)
     f = args.fmt
     plot_column(data, "FER", "FER", "Frame error rate",

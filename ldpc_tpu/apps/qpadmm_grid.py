@@ -95,6 +95,12 @@ def run_grid(cfg: GridSearchConfig, log=print):
     log(f"fer={best[0]:.5f}")
     log(f"({len(feasible)} feasible cells x {cfg.trials} trials in {dt:.1f}s "
         f"= {len(feasible) * cfg.trials / dt:.0f} decodes/s)", file=sys.stderr)
+    if cfg.grid_out:
+        with open(cfg.grid_out, "w") as f:
+            f.write("Alpha,Mu,FER\n")
+            for (a, m), fer in sorted(fers.items()):
+                f.write(f"{a:.6f},{m:.6f},{fer:.6f}\n")
+        log(f"grid written to {cfg.grid_out}", file=sys.stderr)
     return fers, best
 
 

@@ -80,6 +80,7 @@ class GridSearchConfig:
     admm_eps_stop: float = 1e-5
     seed: int = 239
     batch_cells: int = 16               # (alpha, mu) cells vmapped per launch
+    grid_out: str = ""                  # optional CSV: one FER row per cell
 
 
 @dataclass

@@ -147,6 +147,10 @@ class _AdaptiveLPBase:
         # reduced-cost crossover threshold for the cut-search point
         # (relative to mean |c|); 0 disables. See the body's polish block.
         self.polish_tol = 0.0
+        # vertex purification for the gauss cut search (AGC only): phase-2
+        # generic-objective solve over the optimal face. See with_gauss.
+        self.purify = False
+        self.purify_delta = 0.02
         # adaptive inner-solve budget: chunks of lp_iters up to lp_max_iters,
         # stopping when the worst batch violation is below lp_tol. The cut
         # threshold must exceed the solve tolerance (cut_tol > lp_tol), else
@@ -197,7 +201,9 @@ class _AdaptiveLPBase:
     def _gauss_sup(self, x, need=None):
         raise NotImplementedError
 
-    def _run_loop(self, llrs):
+    def _init_state(self, llrs) -> dict:
+        """Fresh per-lane cut-loop state (also the streaming protocol's
+        ``stream_init``)."""
         bsz = llrs.shape[0]
         c = jnp.asarray(llrs, jnp.float32)
         cap = self.capacity
@@ -210,20 +216,36 @@ class _AdaptiveLPBase:
         if self.perturb:
             scale = jnp.mean(jnp.abs(c), axis=1, keepdims=True)
             c = c + self.perturb * scale * self._pert_dir[None]
+        return {
+            "c": c,
+            "x": (c < 0.0).astype(jnp.float32),   # exact box-LP optimum
+            "y": jnp.zeros((bsz, cap), jnp.float32),
+            "a": jnp.zeros((bsz, cap, self.n), jnp.float32),
+            "rhs": jnp.zeros((bsz, cap), jnp.float32),
+            "count": jnp.zeros((bsz,), jnp.int32),
+            "done": jnp.zeros((bsz,), bool),
+            "viol": jnp.zeros((bsz,), jnp.float32),
+            "viol_prev": jnp.full((bsz,), jnp.inf, jnp.float32),
+            "dropped": jnp.zeros((bsz,), jnp.int32),
+            "rounds": jnp.zeros((bsz,), jnp.int32),
+            "h1": jnp.zeros((bsz, cap), jnp.int32),
+            "h2": jnp.zeros((bsz, cap), jnp.int32),
+        }
 
-        x0 = (c < 0.0).astype(jnp.float32)    # exact box-LP optimum
-        a0 = jnp.zeros((bsz, cap, self.n), jnp.float32)
-        r0 = jnp.zeros((bsz, cap), jnp.float32)
-        y0 = jnp.zeros((bsz, cap), jnp.float32)
-        cnt0 = jnp.zeros((bsz,), jnp.int32)
-        done0 = jnp.zeros((bsz,), bool)
-        h0 = (jnp.zeros((bsz, cap), jnp.int32), jnp.zeros((bsz, cap),
-                                                          jnp.int32))
+    def _round_body(self, state: dict) -> dict:
+        """One cut round (search + append + re-solve) over a state dict —
+        shared by the batched while_loop and the streaming chunk path."""
+        bsz = state["x"].shape[0]
+        cap = self.capacity
         w1, w2 = self._hash_w
-
-        def body(state):
-            (rnd, x, y, a_buf, rhs_buf, count, done, viol, viol_prev,
-             dropped, lane_rounds, hstate) = state
+        c = state["c"]
+        (x, y, a_buf, rhs_buf, count, done, viol, viol_prev, dropped,
+         lane_rounds, hstate) = (
+            state["x"], state["y"], state["a"], state["rhs"],
+            state["count"], state["done"], state["viol"],
+            state["viol_prev"], state["dropped"], state["rounds"],
+            (state["h1"], state["h2"]))
+        if True:
             # per-lane diagnostic: rounds in which this lane actually worked
             lane_rounds = lane_rounds + (~done).astype(jnp.int32)
             eligible = ~done & (count < self.max_rows)
@@ -254,6 +276,39 @@ class _AdaptiveLPBase:
                                                    keepdims=True)
                 x_s = jnp.where(rc > delta, 0.0,
                                 jnp.where(rc < -delta, 1.0, x_s))
+            def tier_solve(obj, a_b, r_b, xx, yy, act, r_max):
+                """PDHG solve of min obj.x s.t. a_b[:, :R] x <= r_b[:, :R],
+                box — on the smallest static row-tier covering r_max (see
+                the re-solve comment below for why tiers exist)."""
+                def solve_tier(t):
+                    def run(args):
+                        obj_, a_t, rhs_t, xx_, yy_, act_ = args
+                        if self.lp_backend == "xla" or t % 128 != 0:
+                            x_t, y_t, v_t = pdhg_box_lp(
+                                obj_, a_t[:, :t], rhs_t[:, :t], xx_,
+                                yy_[:, :t], self.lp_max_iters,
+                                tol=self.lp_tol, check_every=self.lp_iters,
+                                active=act_, stall_ratio=self.stall_ratio,
+                                average=self.lp_average)
+                        else:
+                            x_t, y_t, v_t = pdhg_box_lp_fused(
+                                obj_, a_t[:, :t], rhs_t[:, :t], xx_,
+                                yy_[:, :t], self.lp_max_iters,
+                                tol=self.lp_tol, check_every=self.lp_iters,
+                                active=act_, stall_ratio=self.stall_ratio,
+                                average=self.lp_average,
+                                interpret=self.lp_backend ==
+                                "pallas-interpret")
+                        return x_t, yy_.at[:, :t].set(y_t), v_t
+                    return run
+
+                tiers = [t for t in self._tiers if t < cap] + [cap]
+                tier_idx = sum((r_max > t).astype(jnp.int32)
+                               for t in tiers[:-1])
+                return jax.lax.switch(
+                    tier_idx, [solve_tier(t) for t in tiers],
+                    (obj, a_b, r_b, xx, yy, act))
+
             rows, rhs, add = alp_cut_candidates(self._sup, x_s, self.cut_tol)
             add_h = add & eligible[:, None]
             a_buf, rhs_buf, count, n_h, d_h, drop_h, hstate = append_cuts(
@@ -268,7 +323,41 @@ class _AdaptiveLPBase:
 
                 def with_gauss(args):
                     a_b, r_b, cnt, hs = args
-                    g_sup = self._gauss_sup(x_s, need)
+                    if self.purify:
+                        # Vertex purification (two-phase / lexicographic):
+                        # PDHG converges to an *interior* point of the
+                        # optimal face; the reference's dual simplex returns
+                        # a vertex (full_lp.h:142-145). On degenerate cut
+                        # LPs the face is wide, and adapting the gauss
+                        # elimination to a face-interior point yields
+                        # measurably weaker cuts — the budget-race FER gap.
+                        # Phase 2 re-optimizes a *generic* objective over
+                        # the (slightly relaxed) optimal face
+                        # {c.x <= c.x* + delta}, whose optimum is a unique
+                        # vertex a.s.; scale makes the tilt O(1), so PDHG
+                        # resolves it at its normal tolerance — unlike the
+                        # `perturb` single-phase trick, which must keep the
+                        # tilt far below decoding relevance and therefore
+                        # below PDHG's resolution.
+                        s = jnp.mean(jnp.abs(c), axis=1, keepdims=True)
+                        vstar = jnp.sum(c * x, axis=1, keepdims=True)
+                        iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
+                        at_cnt = iota == cnt[:, None]
+                        a2 = jnp.where(at_cnt[:, :, None],
+                                       (c / s)[:, None, :], a_b)
+                        r2 = jnp.where(
+                            at_cnt, (vstar / s) + self.purify_delta, r_b)
+                        eps_c = s * self._pert_dir[None]
+                        r_max2 = jnp.max(jnp.where(need, cnt + 1, 0))
+                        x_v, _, _ = tier_solve(eps_c, a2, r2, x,
+                                               jnp.zeros_like(r_b), need,
+                                               r_max2)
+                        x_g = jnp.where(
+                            x_v < self.snap_tol, 0.0,
+                            jnp.where(x_v > 1.0 - self.snap_tol, 1.0, x_v))
+                    else:
+                        x_g = x_s
+                    g_sup = self._gauss_sup(x_g, need)
                     # gauss rows are dense (~n/2 support): the violation sum
                     # accumulates LP plateau noise over ~140 coordinates
                     # (sigma ~ 0.07), so cuts an exact solver would find read
@@ -278,7 +367,7 @@ class _AdaptiveLPBase:
                     # so near-violated cuts are sound to add.
                     g_tol = self.cut_tol - getattr(self, "gauss_margin", 0.0)
                     g_rows, g_rhs, g_add = alp_cut_candidates(
-                        g_sup, x_s, g_tol)
+                        g_sup, x_g, g_tol)
                     g_add = g_add & need[:, None]
                     return append_cuts(a_b, r_b, cnt, g_rows, g_rhs, g_add,
                                        hash_state=hs,
@@ -321,92 +410,82 @@ class _AdaptiveLPBase:
             # <200 at high SNR) that is a 3-13x bandwidth waste.
             r_max = jnp.max(jnp.where(done, 0, count))
             act = ~done
-
-            def solve_tier(t):
-                def run(args):
-                    a_t, rhs_t, xx, yy, act = args
-                    if self.lp_backend == "xla" or t % 128 != 0:
-                        x_t, y_t, v_t = pdhg_box_lp(
-                            c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
-                            self.lp_max_iters, tol=self.lp_tol,
-                            check_every=self.lp_iters, active=act,
-                            stall_ratio=self.stall_ratio,
-                            average=self.lp_average)
-                    else:
-                        x_t, y_t, v_t = pdhg_box_lp_fused(
-                            c, a_t[:, :t], rhs_t[:, :t], xx, yy[:, :t],
-                            self.lp_max_iters, tol=self.lp_tol,
-                            check_every=self.lp_iters, active=act,
-                            stall_ratio=self.stall_ratio,
-                            average=self.lp_average,
-                            interpret=self.lp_backend == "pallas-interpret")
-                    return x_t, yy.at[:, :t].set(y_t), v_t
-                return run
-
-            tiers = [t for t in self._tiers if t < cap] + [cap]
-            tier_idx = sum((r_max > t).astype(jnp.int32) for t in tiers[:-1])
-            x_new, y_new, viol_new = jax.lax.switch(
-                tier_idx, [solve_tier(t) for t in tiers],
-                (a_buf, rhs_buf, x, y, act))
+            x_new, y_new, viol_new = tier_solve(c, a_buf, rhs_buf, x, y,
+                                                act, r_max)
             keep = done[:, None]
             x = jnp.where(keep, x, x_new)
             y = jnp.where(keep, y, y_new)
             # viol_prev must stay inert (inf) until TWO real solves exist:
-            # round 0's entry violation is the trivial viol0=0 of the
-            # unconstrained box optimum, and 0.8*0 = 0 would make the round-1
-            # stagnation test trivially true — terminating any lane whose
-            # first re-search found no cut after a single (possibly
-            # plateau-quality) solve. Round 2 makes the first real
-            # solve-vs-solve comparison.
-            viol_prev = jnp.where(rnd == 0, jnp.inf, viol)
+            # a lane's first worked round enters with the trivial viol0=0 of
+            # the unconstrained box optimum, and 0.8*0 = 0 would make the
+            # next round's stagnation test trivially true — terminating any
+            # lane whose first re-search found no cut after a single
+            # (possibly plateau-quality) solve. The second worked round
+            # makes the first real solve-vs-solve comparison. (Per-lane:
+            # streaming refills restart lanes mid-batch.)
+            viol_prev = jnp.where(lane_rounds == 1, jnp.inf, viol)
             viol = jnp.where(done, 0.0, viol_new)
-            return (rnd + 1, x, y, a_buf, rhs_buf, count, done, viol,
-                    viol_prev, dropped, lane_rounds, hstate)
+            # per-lane round budget (the batched path's former global cond)
+            done = done | (lane_rounds >= self.max_rounds)
+        return {"c": c, "x": x, "y": y, "a": a_buf, "rhs": rhs_buf,
+                "count": count, "done": done, "viol": viol,
+                "viol_prev": viol_prev, "dropped": dropped,
+                "rounds": lane_rounds, "h1": hstate[0], "h2": hstate[1]}
 
-        def cond(state):
-            rnd = state[0]
-            done = state[6]
-            return (rnd < self.max_rounds) & ~jnp.all(done)
-
-        # x0 is the exact box-LP optimum over zero constraints: viol0 = 0;
-        # viol_prev starts at +inf so the round-stagnation test is inert
-        # until a real solve has happened
-        viol0 = jnp.zeros((bsz,), jnp.float32)
-        vprev0 = jnp.full((bsz,), jnp.inf, jnp.float32)
-        drop0 = jnp.zeros((bsz,), jnp.int32)
-        rounds0 = jnp.zeros((bsz,), jnp.int32)
-        state = (jnp.int32(0), x0, y0, a0, r0, cnt0, done0, viol0, vprev0,
-                 drop0, rounds0, h0)
-        final = jax.lax.while_loop(cond, body, state)
+    def _run_loop(self, llrs) -> dict:
+        state = self._init_state(llrs)
+        final = jax.lax.while_loop(
+            lambda s: ~jnp.all(s["done"]), self._round_body, state)
         # full final state; jitted callers slice what they need (XLA DCEs
         # the big buffers out of programs that don't fetch them)
         return final
 
     def _decode_impl(self, llrs) -> DecodeResult:
-        _, x, _, _, _, count, done, _, _, dropped, lane_rounds, _ = \
-            self._run_loop(llrs)
+        return self._finish(self._run_loop(llrs))
+
+    def _finish(self, st: dict) -> DecodeResult:
+        x = st["x"]
         bits = (x > 0.5).astype(jnp.uint8)
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
                            axis=-1)
         success = integral & is_codeword(self._h, bits)
         return DecodeResult(bits=bits, success=success,
-                            iterations=lane_rounds,
-                            dropped=dropped)
+                            iterations=st["rounds"],
+                            dropped=st["dropped"])
 
     def decode_batch(self, llrs) -> DecodeResult:
         return self._decode(llrs)
+
+    # ------------------------------------------------------------------
+    # Streaming protocol (harness.experiment.run_streaming_experiment):
+    # one chunk = one cut round; converged lanes drain between rounds and
+    # their 100 MB-scale buffer slots refill from the trial stream, so
+    # straggler lanes (64-round spinners) stop holding whole batches.
+    def stream_init(self, llrs) -> dict:
+        return self._init_state(llrs)
+
+    def stream_chunk(self, st: dict) -> dict:
+        return jax.lax.cond(jnp.all(st["done"]), lambda s: s,
+                            self._round_body, st)
+
+    def stream_done(self, st: dict):
+        return st["done"]
+
+    def stream_finish(self, st: dict) -> DecodeResult:
+        return self._finish(st)
 
     def stats(self, llrs):
         """Cut-loop telemetry for tuning: per-lane final active-cut count,
         per-lane rounds worked, integrality, per-lane done flag."""
         if not hasattr(self, "_run_loop_jit"):
             self._run_loop_jit = jax.jit(self._run_loop)
-        _, x, _, _, _, count, done, viol, _, dropped, rnd, _ = \
-            self._run_loop_jit(llrs)
+        st = self._run_loop_jit(llrs)
+        x = st["x"]
         integral = jnp.all((x < self.int_tol) | (x > 1.0 - self.int_tol),
                            axis=-1)
-        return {"count": count, "rounds": rnd, "integral": integral,
-                "done": done, "viol": viol, "dropped": dropped}
+        return {"count": st["count"], "rounds": st["rounds"],
+                "integral": integral, "done": st["done"],
+                "viol": st["viol"], "dropped": st["dropped"]}
 
 
 class ALPDecoder(_AdaptiveLPBase):

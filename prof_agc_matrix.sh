@@ -1,17 +1,16 @@
 #!/bin/bash
-# AGC-ALP remedy matrix at one SNR point (default -2, the worst parity point).
-# Each run is a fresh process (knobs are jit-baked constants).
+# AGC-ALP remedy matrix #2: cut-search-point fidelity knobs.
 SNR=${1:--2.0}
 TRIALS=${2:-1000}
 cd /root/repo
 for cfg in \
-    "" \
-    "lp_tol=3e-5" \
-    "gauss_margin=5e-4" \
-    "gauss_margin=8e-4" \
-    "lp_average=1" \
-    "snap_tol=0.05" \
-    "max_rounds=128" \
+    "polish_tol=0.05" \
+    "polish_tol=0.15" \
+    "perturb=3e-3" \
+    "perturb=1e-2" \
+    "snap_tol=0.01" \
+    "polish_tol=0.05 perturb=3e-3" \
+    "polish_tol=0.1 snap_tol=0.01" \
     ; do
   echo "=== cfg: [$cfg] ==="
   timeout 1200 python prof_agc_fer.py $SNR $TRIALS $cfg 2>&1 | grep -v WARNING | tail -2

@@ -111,3 +111,23 @@ def test_streaming_matches_batched(small_h):
     r_b2 = run_experiment(dec, small_h, cw[:70], snr=0.0, key=key,
                           batch_size=32, streaming=False)
     assert r_s2.total == 70 and r_s2.correct == r_b2.correct
+
+
+def test_streaming_matches_batched_alp(small_h):
+    """Same equality for the ALP family (chunk = one cut round): refilled
+    lanes restart mid-batch with their own round budgets, so scheduling
+    differs but per-trial results must not."""
+    from ldpc_tpu.decoders.alp import ALPDecoder
+    g, _ = gf2_nullspace(small_h)
+    key = jax.random.PRNGKey(5)
+    cw = np.asarray(gen_random_codewords(key, g, 60))
+    dec = ALPDecoder(small_h, max_rounds=12)
+    r_b = run_experiment(dec, small_h, cw, snr=2.0, key=key,
+                         batch_size=16, streaming=False)
+    r_s = run_experiment(dec, small_h, cw, snr=2.0, key=key,
+                         batch_size=16, streaming=True)
+    assert r_s.total == 60
+    assert (r_s.correct, r_s.pseudo, r_s.sum_hamming, r_s.sum_iterations,
+            r_s.sum_dropped) == \
+           (r_b.correct, r_b.pseudo, r_b.sum_hamming, r_b.sum_iterations,
+            r_b.sum_dropped)
