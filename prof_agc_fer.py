@@ -14,7 +14,10 @@ TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 kw = {}
 for a in sys.argv[3:]:
     k, v = a.split("=")
-    kw[k] = float(v) if "." in v or "e" in v else int(v)
+    try:
+        kw[k] = float(v) if "." in v or "e" in v else int(v)
+    except ValueError:
+        kw[k] = v
 
 h = read_pcm("data/optimalH.txt")
 g, ok = gf2_nullspace(h)
