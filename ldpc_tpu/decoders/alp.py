@@ -151,6 +151,8 @@ class _AdaptiveLPBase:
         # generic-objective solve over the optimal face. See with_gauss.
         self.purify = False
         self.purify_delta = 0.02
+        # PDLP-style primal weight (tau *= omega, sigma /= omega)
+        self.lp_omega = 1.0
         # adaptive inner-solve budget: chunks of lp_iters up to lp_max_iters,
         # stopping when the worst batch violation is below lp_tol. The cut
         # threshold must exceed the solve tolerance (cut_tol > lp_tol), else
@@ -228,6 +230,8 @@ class _AdaptiveLPBase:
             "viol_prev": jnp.full((bsz,), jnp.inf, jnp.float32),
             "dropped": jnp.zeros((bsz,), jnp.int32),
             "rounds": jnp.zeros((bsz,), jnp.int32),
+            "cum_h": jnp.zeros((bsz,), jnp.int32),   # H cuts appended
+            "cum_g": jnp.zeros((bsz,), jnp.int32),   # gauss cuts appended
             "h1": jnp.zeros((bsz, cap), jnp.int32),
             "h2": jnp.zeros((bsz, cap), jnp.int32),
         }
@@ -289,7 +293,8 @@ class _AdaptiveLPBase:
                                 yy_[:, :t], self.lp_max_iters,
                                 tol=self.lp_tol, check_every=self.lp_iters,
                                 active=act_, stall_ratio=self.stall_ratio,
-                                average=self.lp_average)
+                                average=self.lp_average,
+                                omega=self.lp_omega)
                         else:
                             x_t, y_t, v_t = pdhg_box_lp_fused(
                                 obj_, a_t[:, :t], rhs_t[:, :t], xx_,
@@ -297,6 +302,7 @@ class _AdaptiveLPBase:
                                 tol=self.lp_tol, check_every=self.lp_iters,
                                 active=act_, stall_ratio=self.stall_ratio,
                                 average=self.lp_average,
+                                omega=self.lp_omega,
                                 interpret=self.lp_backend ==
                                 "pallas-interpret")
                         return x_t, yy_.at[:, :t].set(y_t), v_t
@@ -382,11 +388,13 @@ class _AdaptiveLPBase:
                     jax.lax.cond(jnp.any(need), with_gauss, without_gauss,
                                  (a_buf, rhs_buf, count, hstate))
                 n_added = n_h + n_g
+                cum_g = state["cum_g"] + n_g
                 n_dups = d_h + d_g
                 dropped = dropped + drop_g
             else:
                 n_added = n_h
                 n_dups = d_h
+                cum_g = state["cum_g"]
             # a lane is finished when its cut search yields no NEW cut and
             # its LP solve is as good as it will get: either converged
             # (violation below lp_tol) or *plateaued* (violation stopped
@@ -430,7 +438,8 @@ class _AdaptiveLPBase:
         return {"c": c, "x": x, "y": y, "a": a_buf, "rhs": rhs_buf,
                 "count": count, "done": done, "viol": viol,
                 "viol_prev": viol_prev, "dropped": dropped,
-                "rounds": lane_rounds, "h1": hstate[0], "h2": hstate[1]}
+                "rounds": lane_rounds, "cum_h": state["cum_h"] + n_h,
+                "cum_g": cum_g, "h1": hstate[0], "h2": hstate[1]}
 
     def _run_loop(self, llrs) -> dict:
         state = self._init_state(llrs)
@@ -485,7 +494,8 @@ class _AdaptiveLPBase:
                            axis=-1)
         return {"count": st["count"], "rounds": st["rounds"],
                 "integral": integral, "done": st["done"],
-                "viol": st["viol"], "dropped": st["dropped"]}
+                "viol": st["viol"], "dropped": st["dropped"],
+                "cum_h": st["cum_h"], "cum_g": st["cum_g"]}
 
 
 class ALPDecoder(_AdaptiveLPBase):

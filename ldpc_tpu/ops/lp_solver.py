@@ -26,28 +26,32 @@ import jax.numpy as jnp
 __all__ = ["pdhg_box_lp", "pdhg_steps"]
 
 
-def pdhg_steps(a_rows, safety: float = 0.95):
+def pdhg_steps(a_rows, safety: float = 0.95, omega: float = 1.0):
     """Diagonal (Pock-Chambolle alpha=1) preconditioners, per lane.
 
-    tau_j = 1 / sum_i |A_ij|   (primal, (B, n));
-    sigma_i = 1 / sum_j |A_ij| (dual, (B, R)).
+    tau_j = omega / sum_i |A_ij|   (primal, (B, n));
+    sigma_i = 1 / (omega * sum_j |A_ij|) (dual, (B, R)).
     Provably convergent for any constraint pattern and — unlike the scalar
     ||A||_1*||A||_inf bound — does not collapse when a few dense rows
     (AGC-ALP's Gaussian-eliminated cuts, ~n/2 nonzeros) join the buffer.
     Empty columns/rows get tau=1 / sigma=0 (a zero row's dual never moves).
+    ``omega`` is the PDLP-style primal weight: it rebalances primal vs dual
+    step sizes (tau*sigma is invariant, so convergence is unaffected) —
+    useful when one space oscillates while the other crawls.
     """
     abs_a = jnp.abs(a_rows)
     row_sum = jnp.sum(abs_a, axis=-1)                  # (B, R)
     col_sum = jnp.sum(abs_a, axis=-2)                  # (B, n)
-    tau = safety / jnp.maximum(col_sum, 1.0)
-    sigma = jnp.where(row_sum > 0, safety / jnp.maximum(row_sum, 1e-6), 0.0)
+    tau = safety * omega / jnp.maximum(col_sum, 1.0)
+    sigma = jnp.where(row_sum > 0,
+                      safety / omega / jnp.maximum(row_sum, 1e-6), 0.0)
     return tau, sigma
 
 
 def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
                 tol: float | None = None, check_every: int = 200,
                 active=None, stall_ratio: float | None = None,
-                average: bool = False):
+                average: bool = False, omega: float = 1.0):
     """Preconditioned PDHG steps, optionally tolerance-driven.
     Shapes: c,x0 (B,n); a_rows (B,R,n); b,y0 (B,R).
 
@@ -78,7 +82,7 @@ def pdhg_box_lp(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     exit — callers use it as the per-lane "LP actually converged (feasible
     AND optimal)" certificate. Warm-startable: pass previous (x, y).
     """
-    tau, sigma = pdhg_steps(a_rows, safety)
+    tau, sigma = pdhg_steps(a_rows, safety, omega)
 
     def step(xy):
         x, y = xy
@@ -156,7 +160,7 @@ def pdhg_box_lp_fused(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
                       tol: float = 1e-4, check_every: int = 200,
                       interpret: bool = False, active=None,
                       stall_ratio: float | None = None,
-                      average: bool = False):
+                      average: bool = False, omega: float = 1.0):
     """Tolerance-driven PDHG via the fused Pallas chunk kernel
     (:mod:`ldpc_tpu.ops.pallas.pdhg_kernel`): each chunk runs
     ``check_every`` iterations with the lane's constraint slice resident in
@@ -169,7 +173,7 @@ def pdhg_box_lp_fused(c, a_rows, b, x0, y0, iters: int, safety: float = 0.95,
     chunk inside the kernel and are excluded from the stop criterion."""
     from .pallas.pdhg_kernel import pdhg_chunk_pallas
 
-    tau, sigma = pdhg_steps(a_rows, safety)
+    tau, sigma = pdhg_steps(a_rows, safety, omega)
     n_chunks = -(-iters // check_every)
     bsz = a_rows.shape[0]
 

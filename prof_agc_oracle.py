@@ -102,3 +102,19 @@ for i in idx[:6]:
     print(f"  frame {i}: ours count={st['count'][i]} done={st['done'][i]} "
           f"integral={st['integral'][i]} | oracle rows={o_rows[i]} "
           f"rounds={o_rounds[i]} hcuts={o_hcuts[i]}")
+
+# H-vs-gauss budget split, ours vs oracle, on shared-outcome frames
+if "cum_h" in st:
+    o_gcuts = o_rows - o_hcuts
+    for name, m in (("both-ok", ours_ok & oracle_ok),
+                    ("oracle-only", ~ours_ok & oracle_ok),
+                    ("neither", ~ours_ok & ~oracle_ok)):
+        if m.sum() == 0:
+            continue
+        print(f"{name} (n={m.sum()}): "
+              f"ours H p50={np.percentile(st['cum_h'][m],50):.0f} "
+              f"G p50={np.percentile(st['cum_g'][m],50):.0f} "
+              f"rounds p50={np.percentile(st['rounds'][m],50):.0f} | "
+              f"oracle H p50={np.percentile(o_hcuts[m],50):.0f} "
+              f"G p50={np.percentile(o_gcuts[m],50):.0f} "
+              f"rounds p50={np.percentile(o_rounds[m],50):.0f}")
