@@ -30,11 +30,21 @@ class AGCALPDecoder(_AdaptiveLPBase):
 
     def __init__(self, h, max_rows: int = 1000, max_rounds: int = 64,
                  lp_iters: int = 100, int_tol: float = 3e-2,
-                 cut_tol: float = 1e-3, gauss_eps: float = 1e-3,
+                 cut_tol: float = 3e-4, gauss_eps: float = 1e-8,
                  gauss_margin: float = 0.0, lp_average: bool = False,
-                 lp_backend: str = "auto", gauss_backend: str = "auto"):
+                 snap_tol: float = 0.0,
+                 lp_backend: str = "ipm", gauss_backend: str = "auto"):
+        # Defaults are the FER-parity configuration (round 3): the exact-
+        # grade IPM backend with *reference* cut semantics — no snapping, no
+        # cut-threshold slack, gauss fractionality eps at the reference's
+        # EPS=1e-8 (utils/channel.h:10). The PDHG-era compensations
+        # (snap_tol=0.02, cut_tol=1e-3, gauss_eps=1e-3) mask genuinely
+        # violated cuts and lose the 1000-row budget race on hard frames
+        # (z up to +9 vs report_opt.csv); with IPM's ~1e-5 coordinates they
+        # are unnecessary and harmful. See VALIDATION.md.
         super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,
                          lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol,
+                         snap_tol=snap_tol,
                          lp_backend=lp_backend, lp_average=lp_average)
         self.name = "AGC-ALP"
         self.gauss_eps = float(gauss_eps)

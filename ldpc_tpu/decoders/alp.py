@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codes.gf2 import is_codeword
+from ..ops.ipm_solver import ipm_box_lp
 from ..ops.lp_solver import pdhg_box_lp, pdhg_box_lp_fused
 from .base import DecodeResult
 
@@ -153,6 +154,10 @@ class _AdaptiveLPBase:
         self.purify_delta = 0.02
         # PDLP-style primal weight (tau *= omega, sigma /= omega)
         self.lp_omega = 1.0
+        # IPM backend budget/tolerance (lp_backend="ipm"): ~35 Newton steps
+        # reach mu ~ 1e-6; tol is on max(mu, |r_p|, |r_d|) in scaled units
+        self.ipm_iters = 40
+        self.ipm_tol = 1e-5
         # adaptive inner-solve budget: chunks of lp_iters up to lp_max_iters,
         # stopping when the worst batch violation is below lp_tol. The cut
         # threshold must exceed the solve tolerance (cut_tol > lp_tol), else
@@ -167,7 +172,6 @@ class _AdaptiveLPBase:
         # PDLP-style best-of(last, chunk-average) restarts in the LP solve
         # (halves the oscillation plateau on degenerate cut buffers)
         self.lp_average = bool(lp_average)
-        assert self.cut_tol > self.lp_tol, "cut_tol must exceed lp_tol"
         # static generic direction for the objective perturbation below
         rng = np.random.default_rng(0xC0FFEE)
         self._pert_dir = jnp.asarray(
@@ -194,6 +198,11 @@ class _AdaptiveLPBase:
             lp_backend = ("pallas" if jax.default_backend() == "tpu"
                           else "xla")
         self.lp_backend = lp_backend
+        # the cut threshold must exceed the solver's coordinate noise, else
+        # residual violations on existing cuts read as fresh cuts and lanes
+        # never terminate; the binding noise floor is the backend's
+        assert self.cut_tol > (self.ipm_tol if lp_backend == "ipm"
+                               else self.lp_tol), "cut_tol below solver tol"
         self._hash_w = _hash_weights(self.n)
         self._decode = jax.jit(self._decode_impl)
 
@@ -287,7 +296,16 @@ class _AdaptiveLPBase:
                 def solve_tier(t):
                     def run(args):
                         obj_, a_t, rhs_t, xx_, yy_, act_ = args
-                        if self.lp_backend == "xla" or t % 128 != 0:
+                        if self.lp_backend == "ipm":
+                            # batched Mehrotra IPM: converges to ~1e-5
+                            # coordinates where PDHG plateaus at ~1e-2 —
+                            # exact-solver-grade cut-search points (the
+                            # AGC-ALP FER-parity fix; see ops.ipm_solver)
+                            x_t, y_t, v_t = ipm_box_lp(
+                                obj_, a_t[:, :t], rhs_t[:, :t],
+                                iters=self.ipm_iters, tol=self.ipm_tol,
+                                active=act_)
+                        elif self.lp_backend == "xla" or t % 128 != 0:
                             x_t, y_t, v_t = pdhg_box_lp(
                                 obj_, a_t[:, :t], rhs_t[:, :t], xx_,
                                 yy_[:, :t], self.lp_max_iters,

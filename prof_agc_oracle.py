@@ -17,6 +17,13 @@ from test_gauss import scalar_calculate_gauss
 
 SNR = float(sys.argv[1]) if len(sys.argv) > 1 else -2.0
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+KW = {}
+for _a in sys.argv[3:]:
+    _k, _v = _a.split("=")
+    try:
+        KW[_k] = float(_v) if "." in _v or "e" in _v else int(_v)
+    except ValueError:
+        KW[_k] = _v
 
 
 def scalar_agc_alp(h, llr_vec, max_rows=1000, int_tol=1e-6):
@@ -58,7 +65,13 @@ llrs = np.asarray(llrs)
 
 # ours (batched, on whatever backend is active)
 from ldpc_tpu.decoders.agc_alp import AGCALPDecoder
-dec = AGCALPDecoder(h)
+import inspect
+_sig = set(inspect.signature(AGCALPDecoder.__init__).parameters)
+dec = AGCALPDecoder(h, **{k: v for k, v in KW.items() if k in _sig})
+for _k, _v in KW.items():
+    if _k not in _sig:
+        assert hasattr(dec, _k), _k
+        setattr(dec, _k, _v)
 r = dec.decode_batch(llrs)
 ours_ok = np.asarray(r.success) & ~np.any(
     np.asarray(r.bits) != cw, axis=1)
