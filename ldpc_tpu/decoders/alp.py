@@ -158,6 +158,8 @@ class _AdaptiveLPBase:
         # reach mu ~ 1e-6; tol is on max(mu, |r_p|, |r_d|) in scaled units
         self.ipm_iters = 40
         self.ipm_tol = 1e-5
+        # shifted warm start across cut rounds (see ops.ipm_solver)
+        self.ipm_warm = True
         # adaptive inner-solve budget: chunks of lp_iters up to lp_max_iters,
         # stopping when the worst batch violation is below lp_tol. The cut
         # threshold must exceed the solve tolerance (cut_tol > lp_tol), else
@@ -301,10 +303,12 @@ class _AdaptiveLPBase:
                             # coordinates where PDHG plateaus at ~1e-2 —
                             # exact-solver-grade cut-search points (the
                             # AGC-ALP FER-parity fix; see ops.ipm_solver)
+                            warm = ({"x0": xx_, "y0": yy_[:, :t]}
+                                    if self.ipm_warm else {})
                             x_t, y_t, v_t = ipm_box_lp(
                                 obj_, a_t[:, :t], rhs_t[:, :t],
                                 iters=self.ipm_iters, tol=self.ipm_tol,
-                                active=act_)
+                                active=act_, **warm)
                         elif self.lp_backend == "xla" or t % 128 != 0:
                             x_t, y_t, v_t = pdhg_box_lp(
                                 obj_, a_t[:, :t], rhs_t[:, :t], xx_,

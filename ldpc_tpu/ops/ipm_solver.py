@@ -45,7 +45,8 @@ def _pos_step(v, dv, frac: float = 0.995):
 
 
 def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
-               active=None, delta: float = 1e-6, check_every: int = 5):
+               active=None, delta: float = 1e-6, check_every: int = 5,
+               x0=None, y0=None, warm_shift: float = 1e-2):
     """Mehrotra predictor-corrector IPM, batched over lanes. All matmuls
     (einsums AND the Cholesky / triangular-solve internals) run at
     Precision.HIGHEST: the TPU MXU's default f32 path rounds inputs to
@@ -81,14 +82,30 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
         big = f32(2.0 * n)
         be = jnp.where(row_on, b.astype(f32), big)
 
-        # interior start
-        x = jnp.full((bsz, n), 0.5, f32)
+        # interior start; with (x0, y0) a *shifted warm start* from the
+        # previous cut round's solution — pulled `warm_shift` into the
+        # interior so complementarity products are bounded away from 0 and
+        # Mehrotra recenters in a couple of steps instead of ~15 cold ones
+        if x0 is not None:
+            x = jnp.clip(x0.astype(f32), warm_shift, 1.0 - warm_shift)
+        else:
+            x = jnp.full((bsz, n), 0.5, f32)
         w = 1.0 - x
         ax = jnp.einsum("brn,bn->br", a, x, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-        s = jnp.maximum(be - ax, 1.0)
-        y = jnp.ones((bsz, r_cap), f32)
-        zl = jnp.ones((bsz, n), f32) + jnp.maximum(cs, 0.0)
-        zu = jnp.ones((bsz, n), f32) + jnp.maximum(-cs, 0.0)
+        s = jnp.maximum(be - ax, warm_shift if x0 is not None else 1.0)
+        if y0 is not None:
+            y = jnp.maximum(y0.astype(f32) / jnp.maximum(cscale, 1e-6),
+                            warm_shift)
+            aty0 = jnp.einsum("brn,br->bn", a, y,
+                              preferred_element_type=f32,
+                              precision=jax.lax.Precision.HIGHEST)
+            rc0 = cs + aty0
+            zl = jnp.maximum(rc0, warm_shift)
+            zu = jnp.maximum(-rc0, warm_shift)
+        else:
+            y = jnp.ones((bsz, r_cap), f32)
+            zl = jnp.ones((bsz, n), f32) + jnp.maximum(cs, 0.0)
+            zu = jnp.ones((bsz, n), f32) + jnp.maximum(-cs, 0.0)
 
         n_compl = f32(r_cap + 2 * n)
         eye = jnp.eye(n, dtype=f32)

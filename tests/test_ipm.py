@@ -84,3 +84,24 @@ def test_ipm_box_only():
     x = np.asarray(x)
     np.testing.assert_allclose(x, (c < 0).astype(np.float32), atol=1e-3)
     assert np.all(np.asarray(err) < 1e-3)
+
+
+def test_ipm_warm_start_matches_cold():
+    """A shifted warm start from a perturbed solution reaches the same
+    optimum (same objective to ~1e-4) as a cold start."""
+    rng = np.random.default_rng(21)
+    n, r_cap, bsz = 24, 32, 4
+    aa, bb, cc = [], [], []
+    for _ in range(bsz):
+        a, b, c = _rand_cut_lp(rng, n, 12, r_cap)
+        aa.append(a), bb.append(b), cc.append(c)
+    aa, bb, cc = map(np.stack, (aa, bb, cc))
+    xc, yc, ec = ipm_box_lp(jnp.asarray(cc), jnp.asarray(aa),
+                            jnp.asarray(bb), iters=40)
+    x0 = jnp.clip(xc + 0.05, 0.0, 1.0)
+    xw, yw, ew = ipm_box_lp(jnp.asarray(cc), jnp.asarray(aa),
+                            jnp.asarray(bb), iters=40, x0=x0, y0=yc)
+    oc = np.sum(np.asarray(cc) * np.asarray(xc), axis=1)
+    ow = np.sum(np.asarray(cc) * np.asarray(xw), axis=1)
+    np.testing.assert_allclose(ow, oc, atol=1e-3)
+    assert np.all(np.asarray(ew) < 1e-3)
