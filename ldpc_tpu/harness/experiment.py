@@ -430,11 +430,22 @@ def run_streaming_experiment(decoder, h, codewords, snr: float, key,
     t_start = time.perf_counter()
     carry = start_j()
     n_active = None
+    t_poll = time.perf_counter()
     while True:
         for _ in range(fetch_every):
             carry, n_active = step_j(carry)
         if int(jax.device_get(n_active)) == 0:
             break
+        # Adaptive poll thinning: the device_get above is a host sync — over
+        # the axon tunnel a ~27 ms RTT. For fast chunks (BP / ADMM) syncing
+        # every 4 chunks makes the RTT the throughput ceiling, so double the
+        # chunks-per-poll while polls come back quickly. Overshoot after the
+        # last lane converges is cheap: a chunk with every lane done is a
+        # skipped lax.cond plus counter no-ops.
+        now = time.perf_counter()
+        if now - t_poll < 0.25 and fetch_every < 128:
+            fetch_every *= 2
+        t_poll = now
     counters = carry[-1]
     result = _fetch_counters(counters)
     result.time_sec = time.perf_counter() - t_start
