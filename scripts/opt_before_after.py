@@ -1,0 +1,56 @@
+"""Before/after FER measurement for the matrix-optimization run.
+
+The reference's headline optimization artifact is a QP-ADMM FER drop from
+its starting matrix to its optimized one (optimize_H.cpp:88-135, notebook
+cells 6-7: H05 0.3380 -> optimalH 0.2751 at SNR=-3). Our population-parallel
+run (`apps/optimize_h.py`, defaults: seed=239, random 8x14/z=20 QC init)
+checkpoints to data/optimalH_tpu.txt + data/optimize_state.json. This
+script re-derives the run's *initial* matrix from the seed (QCMatrix.random
+is deterministic), measures initial vs optimized FER at the evaluation
+config (QP-ADMM alpha=1.95 mu=0.5, 1000 iters, SNR=-3) with a 10k-trial
+budget and shared noise, and writes reports/optimize_before_after.json.
+
+Run: python scripts/opt_before_after.py [trials]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from ldpc_tpu.apps.optimize_h import PopulationEvaluator
+from ldpc_tpu.codes.io import read_pcm
+from ldpc_tpu.codes.qc import QCMatrix
+from ldpc_tpu.config import OptimizeConfig
+
+
+def main():
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    cfg = OptimizeConfig()
+    rng = np.random.default_rng(cfg.seed)
+    init = QCMatrix.random(rng, cfg.block_size, cfg.block_rows,
+                           cfg.block_cols).to_dense()
+    opt = read_pcm("data/optimalH_tpu.txt")
+    with open("data/optimize_state.json") as f:
+        gen = json.load(f)["generation"]
+
+    key = jax.random.PRNGKey(cfg.seed)
+    ev = PopulationEvaluator(cfg, cfg.block_cols * cfg.block_size)
+    # one evaluate() call = shared codeword/noise streams for both matrices
+    fers = ev.evaluate([init, opt], key, trials)
+    out = dict(trials=trials, snr=cfg.snr, alpha=cfg.admm_alpha,
+               mu=cfg.admm_mu, admm_iters=cfg.admm_max_iter,
+               proposals_evaluated=gen,
+               fer_initial=float(fers[0]), fer_optimized=float(fers[1]),
+               improvement=float(fers[0] - fers[1]))
+    os.makedirs("reports", exist_ok=True)
+    with open("reports/optimize_before_after.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
