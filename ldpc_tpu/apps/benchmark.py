@@ -20,7 +20,7 @@ from ..channel.awgn import gen_random_codewords
 from ..codes.gf2 import gf2_nullspace
 from ..codes.io import read_pcm
 from ..config import SweepConfig, add_dataclass_args, apply_args
-from ..decoders import make_decoder
+from ..decoders import default_batch, make_decoder
 from ..harness.experiment import run_experiment
 from ..harness.report import ReportWriter
 from ..parallel.mesh import make_trial_mesh
@@ -54,11 +54,12 @@ def run_sweep(cfg: SweepConfig, log=print) -> list[tuple[str, float, object]]:
         try:
             for kind in cfg.decoders:
                 dec = make_decoder(kind, h, cfg.decoder_cfg)
+                bs = cfg.batch_size or default_batch(kind)
                 name = CSV_NAMES.get(kind, dec.name)
                 log(f"Algo: {name}")
                 for snr in cfg.snrs:
                     res = run_experiment(dec, h, codewords, float(snr),
-                                         noise_key, cfg.batch_size,
+                                         noise_key, bs,
                                          sharding=sharding)
                     log(f"\tSNR: {snr}, FER: {res.fer:.5f}, "
                         f"(time={res.avg_time:.6f}s, "

@@ -55,7 +55,7 @@ class SweepConfig:
     decoders: tuple[str, ...] = ("bp", "qp-admm", "alp", "agc-alp")
     snrs: tuple[float, ...] = DEFAULT_SNRS
     trials: int = 10000                  # TESTS_NUM (main.cpp:25)
-    batch_size: int = 2048
+    batch_size: int = 0      # 0 = per-decoder measured optimum (decoders.DEFAULT_BATCH)
     seed: int = 239_239_239              # main.cpp:63
     report: str = "report.csv"
     extended_report: str | None = "report_extended.csv"

@@ -6,9 +6,23 @@ from .bp import BPDecoder
 from .admm import ADMMStructure, QPADMMDecoder
 
 __all__ = ["DecodeResult", "Decoder", "BPDecoder", "QPADMMDecoder",
-           "ADMMStructure", "make_decoder", "DECODER_NAMES"]
+           "ADMMStructure", "make_decoder", "default_batch",
+           "DECODER_NAMES"]
 
 DECODER_NAMES = ("bp", "qp-admm", "full-lp", "alp", "agc-alp")
+
+# Measured single-chip throughput optima (PERF.md): BP tiles at 128
+# lanes/program and scales to large batches; QP-ADMM peaks at 1024 (beyond
+# that the 512-iteration streaming granule wastes tail work); the ALP
+# family is LP-solve-bound and flat in batch size, so stay small to keep
+# refill latency low (AGC's IPM rounds are long — keep its cohort tiny).
+DEFAULT_BATCH = {"bp": 8192, "qp-admm": 1024, "full-lp": 256,
+                 "alp": 256, "agc-alp": 64}
+
+
+def default_batch(kind: str) -> int:
+    """Measured per-decoder throughput-optimal batch size."""
+    return DEFAULT_BATCH.get(kind.lower(), 256)
 
 
 def make_decoder(kind: str, h, cfg=None):
