@@ -16,7 +16,21 @@ singular H scores 1.0; otherwise codewords are regenerated from the
 candidate's own generator matrix with the same base seed; QP-ADMM runs with
 alpha=1.95, mu=0.5, 1000 iterations at SNR=-3.
 
-Run:  python -m ldpc_tpu.apps.optimize_h --generations 200 --population 8
+Two throughput levers beyond the population vmap (round 4):
+
+* **Dynamic structure capacities** — tables are padded to the max exact
+  cascade size over the *current* candidate set (bucketed for compile-cache
+  stability), not the 8x14-grid worst case; at the observed ~50% block
+  density that alone cuts per-iteration gather work ~3x.
+* **Two-stage screening with common random numbers** — every proposal is
+  first scored on ``screen_trials`` (default 256) shared channel draws; only
+  a generation's best screen survivor within ``screen_margin`` of the
+  incumbent's screen FER gets the full ``trials``-sized evaluation that
+  decides acceptance (still strictly-better on the reference's 1000-trial
+  budget, ``optimize_H.cpp:94-101``). Shared noise across candidates makes
+  the 256-trial ranking low-variance; acceptance variance is unchanged.
+
+Run:  python -m ldpc_tpu.apps.optimize_h --generations 10000 --population 8
 """
 from __future__ import annotations
 
@@ -35,21 +49,22 @@ from ..codes.gf2 import gf2_nullspace
 from ..codes.io import read_pcm, save_matrix
 from ..codes.qc import QCMatrix
 from ..config import OptimizeConfig, add_dataclass_args, apply_args
-from ..decoders.admm import ADMMStructure, decode_qp_admm
+from ..decoders.admm import ADMMStructure, _structure_caps, decode_qp_admm
 
 
-def _caps_for_grid(cfg: OptimizeConfig):
-    """Worst-case structure capacities for any (rb x cb, z) QC matrix."""
-    m = cfg.block_rows * cfg.block_size
-    n = cfg.block_cols * cfg.block_size
-    d_max = cfg.block_cols                       # max row degree
-    dv_max = cfg.block_rows                      # max col degree
-    n_aux = m * max(d_max - 3, 0)
-    n_var = n + n_aux
-    per_row = max(4 * max(d_max - 2, 1), 2)
-    n_con = m * per_row
-    k_max = max(4 * dv_max, 8)                   # vars: 4/check; aux: 8
-    return dict(n_var_cap=n_var, n_con_cap=n_con, k_max_cap=k_max)
+def _bucket(x: int, q: int) -> int:
+    return -(-x // q) * q
+
+
+def _caps_for(candidates) -> dict:
+    """Capacities = max exact cascade size over the candidate set, bucketed
+    so generation-to-generation degree drift reuses cached compilations
+    (jax.jit re-specializes per table shape; buckets keep shapes stable)."""
+    caps = [_structure_caps(h) for h in candidates]
+    return dict(
+        n_var_cap=_bucket(max(c[0] for c in caps), 256),
+        n_con_cap=_bucket(max(c[1] for c in caps), 1024),
+        k_max_cap=_bucket(max(c[2] for c in caps), 8))
 
 
 class PopulationEvaluator:
@@ -65,7 +80,6 @@ class PopulationEvaluator:
     def __init__(self, cfg: OptimizeConfig, n: int, sharding=None):
         self.cfg = cfg
         self.n = n
-        self.caps = _caps_for_grid(cfg)
         self.sharding = sharding
         self._fn = None
         # collective argmin over the (possibly sharded) per-candidate
@@ -107,12 +121,13 @@ class PopulationEvaluator:
         live = []
         tables_list, cw_list = [], []
         cw_key, noise_key = jax.random.split(key)
+        caps = _caps_for(candidates)
         for pi, h in enumerate(candidates):
             g, ok = gf2_nullspace(h)
             if not ok:
                 continue                          # singular -> FER 1.0
             live.append(pi)
-            s = ADMMStructure.from_h(h, **self.caps)
+            s = ADMMStructure.from_h(h, **caps)
             tables_list.append({
                 "con_var": s.con_var, "con_coef": s.con_coef, "b": s.b,
                 "var_con": s.var_con, "var_coef": s.var_coef, "e": s.e})
@@ -173,6 +188,7 @@ def optimize(cfg: OptimizeConfig, log=print):
     key = jax.random.PRNGKey(cfg.seed)
 
     state_loaded = False
+    init_mat = None          # persisted so before/after analysis can recover
     if cfg.state_path and os.path.exists(cfg.state_path):
         with open(cfg.state_path) as f:
             st = json.load(f)
@@ -180,6 +196,7 @@ def optimize(cfg: OptimizeConfig, log=print):
                       np.array(st["shifts"], np.int64))
         current_fer = st["fer"]
         start_gen = st["generation"]
+        init_mat = st.get("initial")
         state_loaded = True
         log(f"resumed from {cfg.state_path} @ generation {start_gen}, "
             f"FER={current_fer:.5f}", file=sys.stderr)
@@ -190,6 +207,9 @@ def optimize(cfg: OptimizeConfig, log=print):
         qc = QCMatrix.random(rng, cfg.block_size, cfg.block_rows,
                              cfg.block_cols)
         start_gen = 0
+    if init_mat is None:
+        init_mat = {"present": qc.present.tolist(),
+                    "shifts": qc.shifts.tolist()}
 
     sharding = None
     if len(jax.devices()) > 1 and cfg.population % len(jax.devices()) == 0:
@@ -201,33 +221,52 @@ def optimize(cfg: OptimizeConfig, log=print):
     if not state_loaded:
         current_fer = float(ev.evaluate([qc.to_dense()], key,
                                         cfg.trials)[0])
-    log(f"initial FER={current_fer:.5f}")
+    # incumbent's screen-budget FER: the stage-A comparison point. Shared
+    # noise + shared trial indices make this directly comparable with every
+    # proposal's screen score.
+    screen = min(cfg.screen_trials, cfg.trials)
+    current_screen = float(ev.evaluate([qc.to_dense()], key, screen)[0])
+    log(f"initial FER={current_fer:.5f} (screen {current_screen:.5f})")
+
+    def checkpoint(gen_done: int):
+        save_matrix(qc.to_dense(), cfg.save_path)
+        if cfg.state_path:
+            with open(cfg.state_path, "w") as f:
+                json.dump({"present": qc.present.tolist(),
+                           "shifts": qc.shifts.tolist(),
+                           "fer": current_fer,
+                           "generation": gen_done,
+                           "initial": init_mat}, f)
 
     # ceil: the proposal budget is cfg.generations total proposals (the
     # reference's 10,000 serial proposals, optimize_H.cpp:133); a floor
     # division would silently shrink it by up to population-1
     rounds = max(1, -(-(cfg.generations - start_gen) // cfg.population))
+    n_full = 0
     for gen in range(rounds):
         t0 = time.perf_counter()
         proposals = [qc.random_mutation(rng) for _ in range(cfg.population)]
-        fers = ev.evaluate([p.to_dense() for p in proposals], key, cfg.trials)
-        best = int(np.argmin(fers))
+        fers_s = ev.evaluate([p.to_dense() for p in proposals], key, screen)
+        best = int(np.argmin(fers_s))
+        promoted = fers_s[best] <= current_screen + cfg.screen_margin
+        if promoted:
+            fer_full = float(ev.evaluate([proposals[best].to_dense()], key,
+                                         cfg.trials)[0])
+            n_full += 1
         log(f"\tgeneration {start_gen + gen * cfg.population}: "
-            f"best proposal FER={fers[best]:.5f} "
-            f"({time.perf_counter() - t0:.2f}s for {cfg.population} "
-            f"proposals)")
-        if fers[best] < current_fer:
+            f"best screen FER={fers_s[best]:.5f}"
+            + (f", full FER={fer_full:.5f}" if promoted else " (skipped)")
+            + f" ({time.perf_counter() - t0:.2f}s for {cfg.population} "
+            f"proposals, {n_full} full evals so far)")
+        if promoted and fer_full < current_fer:
             qc = proposals[best]
-            current_fer = float(fers[best])
+            current_fer = fer_full
+            current_screen = float(fers_s[best])
             log(f"accept, FER={current_fer:.5f}")
-            save_matrix(qc.to_dense(), cfg.save_path)
-            if cfg.state_path:
-                with open(cfg.state_path, "w") as f:
-                    json.dump({"present": qc.present.tolist(),
-                               "shifts": qc.shifts.tolist(),
-                               "fer": current_fer,
-                               "generation": start_gen + (gen + 1) *
-                               cfg.population}, f)
+            checkpoint(start_gen + (gen + 1) * cfg.population)
+    # persist the proposal count even when the tail accepts nothing, so a
+    # resumed run continues the budget instead of redoing it
+    checkpoint(start_gen + rounds * cfg.population)
     final = float(ev.evaluate([qc.to_dense()], key, cfg.final_trials)[0])
     log(f"final FER ({cfg.final_trials} trials): {final:.5f}")
     return qc, final

@@ -98,6 +98,9 @@ class OptimizeConfig:
     admm_max_iter: int = 1000
     generations: int = 10000             # proposals (optimize_H.cpp:133)
     population: int = 8                  # proposals evaluated per generation
+    screen_trials: int = 256             # stage-A shared-noise screen size
+    screen_margin: float = 0.07          # ~2 sigma at 256 trials; a screen
+    # best within this of the incumbent's screen FER earns a full evaluation
     seed: int = 239
     init_matrix: str | None = None       # warm start path; None -> random
     save_path: str = "data/optimalH_tpu.txt"
