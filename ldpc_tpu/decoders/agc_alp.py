@@ -31,8 +31,7 @@ class AGCALPDecoder(_AdaptiveLPBase):
     def __init__(self, h, max_rows: int = 1000, max_rounds: int = 64,
                  lp_iters: int = 100, int_tol: float = 3e-2,
                  cut_tol: float = 3e-4, gauss_eps: float = 1e-8,
-                 gauss_margin: float = 0.0, lp_average: bool = False,
-                 snap_tol: float = 0.0,
+                 gauss_margin: float = 0.0, snap_tol: float = 0.0,
                  lp_backend: str = "ipm", gauss_backend: str = "auto"):
         # Defaults are the FER-parity configuration (round 3): the exact-
         # grade IPM backend with *reference* cut semantics — no snapping, no
@@ -44,8 +43,7 @@ class AGCALPDecoder(_AdaptiveLPBase):
         # are unnecessary and harmful. See VALIDATION.md.
         super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,
                          lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol,
-                         snap_tol=snap_tol,
-                         lp_backend=lp_backend, lp_average=lp_average)
+                         snap_tol=snap_tol, lp_backend=lp_backend)
         self.name = "AGC-ALP"
         self.gauss_eps = float(gauss_eps)
         self.gauss_margin = float(gauss_margin)

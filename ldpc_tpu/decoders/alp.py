@@ -133,7 +133,7 @@ class _AdaptiveLPBase:
     def __init__(self, h, max_rows: int, max_rounds: int, lp_iters: int,
                  int_tol: float, cut_tol: float = 1e-3,
                  snap_tol: float = 0.02, perturb: float = 1e-3,
-                 lp_backend: str = "auto", lp_average: bool = False):
+                 lp_backend: str = "auto"):
         h = np.asarray(h, dtype=np.uint8) % 2
         self._h = jnp.asarray(h)
         self._sup = jnp.asarray(h.astype(bool))
@@ -145,15 +145,6 @@ class _AdaptiveLPBase:
         self.cut_tol = float(cut_tol)
         self.snap_tol = float(snap_tol)
         self.perturb = float(perturb)
-        # reduced-cost crossover threshold for the cut-search point
-        # (relative to mean |c|); 0 disables. See the body's polish block.
-        self.polish_tol = 0.0
-        # vertex purification for the gauss cut search (AGC only): phase-2
-        # generic-objective solve over the optimal face. See with_gauss.
-        self.purify = False
-        self.purify_delta = 0.02
-        # PDLP-style primal weight (tau *= omega, sigma /= omega)
-        self.lp_omega = 1.0
         # IPM backend budget/tolerance (lp_backend="ipm"): ~35 Newton steps
         # reach mu ~ 1e-6; tol is on max(mu, |r_p|, |r_d|) in scaled units
         self.ipm_iters = 40
@@ -171,9 +162,6 @@ class _AdaptiveLPBase:
         # terminate the lane when violation improves by <20% per step of
         # the respective loop (see the done rule and ops.lp_solver)
         self.stall_ratio = 0.8
-        # PDLP-style best-of(last, chunk-average) restarts in the LP solve
-        # (halves the oscillation plateau on degenerate cut buffers)
-        self.lp_average = bool(lp_average)
         # static generic direction for the objective perturbation below
         rng = np.random.default_rng(0xC0FFEE)
         self._pert_dir = jnp.asarray(
@@ -260,203 +248,147 @@ class _AdaptiveLPBase:
             state["count"], state["done"], state["viol"],
             state["viol_prev"], state["dropped"], state["rounds"],
             (state["h1"], state["h2"]))
-        if True:
-            # per-lane diagnostic: rounds in which this lane actually worked
-            lane_rounds = lane_rounds + (~done).astype(jnp.int32)
-            eligible = ~done & (count < self.max_rows)
-            # Snap near-integral coordinates to exactly 0/1 for cut *search*
-            # (LP state itself is untouched). The simplex the reference uses
-            # returns exact vertex solutions; a first-order solve leaves
-            # ~1e-2 noise on every coordinate, which accumulates across a
-            # wide cut row's support and masks genuinely violated cuts —
-            # especially AGC's dense Gaussian-eliminated rows.
-            x_s = jnp.where(x < self.snap_tol, 0.0,
-                            jnp.where(x > 1.0 - self.snap_tol, 1.0, x))
-            if self.polish_tol > 0.0:
-                # Reduced-cost crossover for the cut-search point: at an
-                # exact vertex optimum (what the reference's dual simplex
-                # returns), complementary slackness pins every coordinate
-                # with a signed reduced cost rc = c + A^T y to its bound
-                # (rc > 0 -> 0, rc < 0 -> 1); only basic coordinates
-                # (rc ~ 0) are genuinely fractional. The dual signal is far
-                # sharper than the primal value-snap above: a plateau-noisy
-                # x_j ~ 0.3 with clearly positive rc_j is really 0, and
-                # mis-placed coordinates are exactly what makes the odd-set
-                # search emit budget-burning junk cuts on AGC's dense
-                # gauss rows.
-                aty = jnp.einsum("brn,br->bn", a_buf, y,
-                                 preferred_element_type=jnp.float32)
-                rc = c + aty
-                delta = self.polish_tol * jnp.mean(jnp.abs(c), axis=1,
-                                                   keepdims=True)
-                x_s = jnp.where(rc > delta, 0.0,
-                                jnp.where(rc < -delta, 1.0, x_s))
-            def tier_solve(obj, a_b, r_b, xx, yy, act, r_max):
-                """PDHG solve of min obj.x s.t. a_b[:, :R] x <= r_b[:, :R],
-                box — on the smallest static row-tier covering r_max (see
-                the re-solve comment below for why tiers exist)."""
-                def solve_tier(t):
-                    def run(args):
-                        obj_, a_t, rhs_t, xx_, yy_, act_ = args
-                        if self.lp_backend == "ipm":
-                            # batched Mehrotra IPM: converges to ~1e-5
-                            # coordinates where PDHG plateaus at ~1e-2 —
-                            # exact-solver-grade cut-search points (the
-                            # AGC-ALP FER-parity fix; see ops.ipm_solver)
-                            warm = ({"x0": xx_, "y0": yy_[:, :t]}
-                                    if self.ipm_warm else {})
-                            x_t, y_t, v_t = ipm_box_lp(
-                                obj_, a_t[:, :t], rhs_t[:, :t],
-                                iters=self.ipm_iters, tol=self.ipm_tol,
-                                active=act_, **warm)
-                        elif self.lp_backend == "xla" or t % 128 != 0:
-                            x_t, y_t, v_t = pdhg_box_lp(
-                                obj_, a_t[:, :t], rhs_t[:, :t], xx_,
-                                yy_[:, :t], self.lp_max_iters,
-                                tol=self.lp_tol, check_every=self.lp_iters,
-                                active=act_, stall_ratio=self.stall_ratio,
-                                average=self.lp_average,
-                                omega=self.lp_omega)
-                        else:
-                            x_t, y_t, v_t = pdhg_box_lp_fused(
-                                obj_, a_t[:, :t], rhs_t[:, :t], xx_,
-                                yy_[:, :t], self.lp_max_iters,
-                                tol=self.lp_tol, check_every=self.lp_iters,
-                                active=act_, stall_ratio=self.stall_ratio,
-                                average=self.lp_average,
-                                omega=self.lp_omega,
-                                interpret=self.lp_backend ==
-                                "pallas-interpret")
-                        return x_t, yy_.at[:, :t].set(y_t), v_t
-                    return run
+        # per-lane diagnostic: rounds in which this lane actually worked
+        lane_rounds = lane_rounds + (~done).astype(jnp.int32)
+        eligible = ~done & (count < self.max_rows)
+        # Snap near-integral coordinates to exactly 0/1 for cut *search*
+        # (LP state itself is untouched). The simplex the reference uses
+        # returns exact vertex solutions; a first-order solve leaves
+        # ~1e-2 noise on every coordinate, which accumulates across a
+        # wide cut row's support and masks genuinely violated cuts —
+        # especially AGC's dense Gaussian-eliminated rows.
+        x_s = jnp.where(x < self.snap_tol, 0.0,
+                        jnp.where(x > 1.0 - self.snap_tol, 1.0, x))
 
-                tiers = [t for t in self._tiers if t < cap] + [cap]
-                tier_idx = sum((r_max > t).astype(jnp.int32)
-                               for t in tiers[:-1])
-                return jax.lax.switch(
-                    tier_idx, [solve_tier(t) for t in tiers],
-                    (obj, a_b, r_b, xx, yy, act))
-
-            rows, rhs, add = alp_cut_candidates(self._sup, x_s, self.cut_tol)
-            add_h = add & eligible[:, None]
-            a_buf, rhs_buf, count, n_h, d_h, drop_h, hstate = append_cuts(
-                a_buf, rhs_buf, count, rows, rhs, add_h,
-                hash_state=hstate, cand_hashes=cut_hashes(rows, w1, w2))
-            dropped = dropped + drop_h
-            if self.use_gauss:
-                # short-circuit semantics (agc_alp.h:99-101): gauss cuts only
-                # for lanes that added no H cuts this round; skip the whole
-                # (expensive) elimination when no lane needs it
-                need = eligible & (n_h == 0)
-
-                def with_gauss(args):
-                    a_b, r_b, cnt, hs = args
-                    if self.purify:
-                        # Vertex purification (two-phase / lexicographic):
-                        # PDHG converges to an *interior* point of the
-                        # optimal face; the reference's dual simplex returns
-                        # a vertex (full_lp.h:142-145). On degenerate cut
-                        # LPs the face is wide, and adapting the gauss
-                        # elimination to a face-interior point yields
-                        # measurably weaker cuts — the budget-race FER gap.
-                        # Phase 2 re-optimizes a *generic* objective over
-                        # the (slightly relaxed) optimal face
-                        # {c.x <= c.x* + delta}, whose optimum is a unique
-                        # vertex a.s.; scale makes the tilt O(1), so PDHG
-                        # resolves it at its normal tolerance — unlike the
-                        # `perturb` single-phase trick, which must keep the
-                        # tilt far below decoding relevance and therefore
-                        # below PDHG's resolution.
-                        s = jnp.mean(jnp.abs(c), axis=1, keepdims=True)
-                        vstar = jnp.sum(c * x, axis=1, keepdims=True)
-                        iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
-                        at_cnt = iota == cnt[:, None]
-                        a2 = jnp.where(at_cnt[:, :, None],
-                                       (c / s)[:, None, :], a_b)
-                        r2 = jnp.where(
-                            at_cnt, (vstar / s) + self.purify_delta, r_b)
-                        eps_c = s * self._pert_dir[None]
-                        r_max2 = jnp.max(jnp.where(need, cnt + 1, 0))
-                        x_v, _, _ = tier_solve(eps_c, a2, r2, x,
-                                               jnp.zeros_like(r_b), need,
-                                               r_max2)
-                        x_g = jnp.where(
-                            x_v < self.snap_tol, 0.0,
-                            jnp.where(x_v > 1.0 - self.snap_tol, 1.0, x_v))
+        def tier_solve(obj, a_b, r_b, xx, yy, act, r_max):
+            """PDHG solve of min obj.x s.t. a_b[:, :R] x <= r_b[:, :R],
+            box — on the smallest static row-tier covering r_max (see
+            the re-solve comment below for why tiers exist)."""
+            def solve_tier(t):
+                def run(args):
+                    obj_, a_t, rhs_t, xx_, yy_, act_ = args
+                    if self.lp_backend == "ipm":
+                        # batched Mehrotra IPM: converges to ~1e-5
+                        # coordinates where PDHG plateaus at ~1e-2 —
+                        # exact-solver-grade cut-search points (the
+                        # AGC-ALP FER-parity fix; see ops.ipm_solver)
+                        warm = ({"x0": xx_, "y0": yy_[:, :t]}
+                                if self.ipm_warm else {})
+                        x_t, y_t, v_t = ipm_box_lp(
+                            obj_, a_t[:, :t], rhs_t[:, :t],
+                            iters=self.ipm_iters, tol=self.ipm_tol,
+                            active=act_, **warm)
+                    elif self.lp_backend == "xla" or t % 128 != 0:
+                        x_t, y_t, v_t = pdhg_box_lp(
+                            obj_, a_t[:, :t], rhs_t[:, :t], xx_,
+                            yy_[:, :t], self.lp_max_iters,
+                            tol=self.lp_tol, check_every=self.lp_iters,
+                            active=act_, stall_ratio=self.stall_ratio)
                     else:
-                        x_g = x_s
-                    g_sup = self._gauss_sup(x_g, need)
-                    # gauss rows are dense (~n/2 support): the violation sum
-                    # accumulates LP plateau noise over ~140 coordinates
-                    # (sigma ~ 0.07), so cuts an exact solver would find read
-                    # as unviolated. gauss_margin relaxes the acceptance
-                    # threshold; odd-set cuts from GF(2) row combinations are
-                    # valid inequalities whether or not currently violated,
-                    # so near-violated cuts are sound to add.
-                    g_tol = self.cut_tol - getattr(self, "gauss_margin", 0.0)
-                    g_rows, g_rhs, g_add = alp_cut_candidates(
-                        g_sup, x_g, g_tol)
-                    g_add = g_add & need[:, None]
-                    return append_cuts(a_b, r_b, cnt, g_rows, g_rhs, g_add,
-                                       hash_state=hs,
-                                       cand_hashes=cut_hashes(g_rows, w1, w2))
+                        x_t, y_t, v_t = pdhg_box_lp_fused(
+                            obj_, a_t[:, :t], rhs_t[:, :t], xx_,
+                            yy_[:, :t], self.lp_max_iters,
+                            tol=self.lp_tol, check_every=self.lp_iters,
+                            active=act_, stall_ratio=self.stall_ratio,
+                            interpret=self.lp_backend ==
+                            "pallas-interpret")
+                    return x_t, yy_.at[:, :t].set(y_t), v_t
+                return run
 
-                def without_gauss(args):
-                    a_b, r_b, cnt, hs = args
-                    return (a_b, r_b, cnt, jnp.zeros_like(n_h),
-                            jnp.zeros_like(n_h), jnp.zeros_like(n_h), hs)
+            tiers = [t for t in self._tiers if t < cap] + [cap]
+            tier_idx = sum((r_max > t).astype(jnp.int32)
+                           for t in tiers[:-1])
+            return jax.lax.switch(
+                tier_idx, [solve_tier(t) for t in tiers],
+                (obj, a_b, r_b, xx, yy, act))
 
-                a_buf, rhs_buf, count, n_g, d_g, drop_g, hstate = \
-                    jax.lax.cond(jnp.any(need), with_gauss, without_gauss,
-                                 (a_buf, rhs_buf, count, hstate))
-                n_added = n_h + n_g
-                cum_g = state["cum_g"] + n_g
-                n_dups = d_h + d_g
-                dropped = dropped + drop_g
-            else:
-                n_added = n_h
-                n_dups = d_h
-                cum_g = state["cum_g"]
-            # a lane is finished when its cut search yields no NEW cut and
-            # its LP solve is as good as it will get: either converged
-            # (violation below lp_tol) or *plateaued* (violation stopped
-            # improving across rounds — degenerate cut LPs give PDHG a
-            # ~1e-2 violation floor that no iteration budget breaks; the
-            # snapped cut search absorbs noise far above it, so plateaued
-            # lanes behave exactly like converged ones for cut discovery).
-            # Duplicate candidates never keep a lane alive: the snapped
-            # solution re-violates existing cuts by up to snap_tol*|supp|,
-            # which an exact solver would never re-find (round-1's
-            # dup-polish rule made every lane spin to max_rounds).
-            stalled = viol >= self.stall_ratio * viol_prev
-            done = done | ((n_added == 0) &
-                           ((viol <= self.lp_tol) | stalled))
-            # re-solve for lanes that changed; frozen lanes keep their x, y.
-            # PDHG runs on the smallest static row-slice of the buffer that
-            # covers every lane's active cuts (lax.switch over geometric
-            # tiers): rows >= max(count) are identically zero and contribute
-            # nothing, but a full-capacity matvec would still stream them
-            # from HBM — at typical cut counts (p99 ~275 ALP / ~1150 AGC,
-            # <200 at high SNR) that is a 3-13x bandwidth waste.
-            r_max = jnp.max(jnp.where(done, 0, count))
-            act = ~done
-            x_new, y_new, viol_new = tier_solve(c, a_buf, rhs_buf, x, y,
-                                                act, r_max)
-            keep = done[:, None]
-            x = jnp.where(keep, x, x_new)
-            y = jnp.where(keep, y, y_new)
-            # viol_prev must stay inert (inf) until TWO real solves exist:
-            # a lane's first worked round enters with the trivial viol0=0 of
-            # the unconstrained box optimum, and 0.8*0 = 0 would make the
-            # next round's stagnation test trivially true — terminating any
-            # lane whose first re-search found no cut after a single
-            # (possibly plateau-quality) solve. The second worked round
-            # makes the first real solve-vs-solve comparison. (Per-lane:
-            # streaming refills restart lanes mid-batch.)
-            viol_prev = jnp.where(lane_rounds == 1, jnp.inf, viol)
-            viol = jnp.where(done, 0.0, viol_new)
-            # per-lane round budget (the batched path's former global cond)
-            done = done | (lane_rounds >= self.max_rounds)
+        rows, rhs, add = alp_cut_candidates(self._sup, x_s, self.cut_tol)
+        add_h = add & eligible[:, None]
+        a_buf, rhs_buf, count, n_h, d_h, drop_h, hstate = append_cuts(
+            a_buf, rhs_buf, count, rows, rhs, add_h,
+            hash_state=hstate, cand_hashes=cut_hashes(rows, w1, w2))
+        dropped = dropped + drop_h
+        if self.use_gauss:
+            # short-circuit semantics (agc_alp.h:99-101): gauss cuts only
+            # for lanes that added no H cuts this round; skip the whole
+            # (expensive) elimination when no lane needs it
+            need = eligible & (n_h == 0)
+
+            def with_gauss(args):
+                a_b, r_b, cnt, hs = args
+                x_g = x_s
+                g_sup = self._gauss_sup(x_g, need)
+                # gauss rows are dense (~n/2 support): the violation sum
+                # accumulates LP plateau noise over ~140 coordinates
+                # (sigma ~ 0.07), so cuts an exact solver would find read
+                # as unviolated. gauss_margin relaxes the acceptance
+                # threshold; odd-set cuts from GF(2) row combinations are
+                # valid inequalities whether or not currently violated,
+                # so near-violated cuts are sound to add.
+                g_tol = self.cut_tol - getattr(self, "gauss_margin", 0.0)
+                g_rows, g_rhs, g_add = alp_cut_candidates(
+                    g_sup, x_g, g_tol)
+                g_add = g_add & need[:, None]
+                return append_cuts(a_b, r_b, cnt, g_rows, g_rhs, g_add,
+                                   hash_state=hs,
+                                   cand_hashes=cut_hashes(g_rows, w1, w2))
+
+            def without_gauss(args):
+                a_b, r_b, cnt, hs = args
+                return (a_b, r_b, cnt, jnp.zeros_like(n_h),
+                        jnp.zeros_like(n_h), jnp.zeros_like(n_h), hs)
+
+            a_buf, rhs_buf, count, n_g, d_g, drop_g, hstate = \
+                jax.lax.cond(jnp.any(need), with_gauss, without_gauss,
+                             (a_buf, rhs_buf, count, hstate))
+            n_added = n_h + n_g
+            cum_g = state["cum_g"] + n_g
+            n_dups = d_h + d_g
+            dropped = dropped + drop_g
+        else:
+            n_added = n_h
+            n_dups = d_h
+            cum_g = state["cum_g"]
+        # a lane is finished when its cut search yields no NEW cut and
+        # its LP solve is as good as it will get: either converged
+        # (violation below lp_tol) or *plateaued* (violation stopped
+        # improving across rounds — degenerate cut LPs give PDHG a
+        # ~1e-2 violation floor that no iteration budget breaks; the
+        # snapped cut search absorbs noise far above it, so plateaued
+        # lanes behave exactly like converged ones for cut discovery).
+        # Duplicate candidates never keep a lane alive: the snapped
+        # solution re-violates existing cuts by up to snap_tol*|supp|,
+        # which an exact solver would never re-find (round-1's
+        # dup-polish rule made every lane spin to max_rounds).
+        stalled = viol >= self.stall_ratio * viol_prev
+        done = done | ((n_added == 0) &
+                       ((viol <= self.lp_tol) | stalled))
+        # re-solve for lanes that changed; frozen lanes keep their x, y.
+        # PDHG runs on the smallest static row-slice of the buffer that
+        # covers every lane's active cuts (lax.switch over geometric
+        # tiers): rows >= max(count) are identically zero and contribute
+        # nothing, but a full-capacity matvec would still stream them
+        # from HBM — at typical cut counts (p99 ~275 ALP / ~1150 AGC,
+        # <200 at high SNR) that is a 3-13x bandwidth waste.
+        r_max = jnp.max(jnp.where(done, 0, count))
+        act = ~done
+        x_new, y_new, viol_new = tier_solve(c, a_buf, rhs_buf, x, y,
+                                            act, r_max)
+        keep = done[:, None]
+        x = jnp.where(keep, x, x_new)
+        y = jnp.where(keep, y, y_new)
+        # viol_prev must stay inert (inf) until TWO real solves exist:
+        # a lane's first worked round enters with the trivial viol0=0 of
+        # the unconstrained box optimum, and 0.8*0 = 0 would make the
+        # next round's stagnation test trivially true — terminating any
+        # lane whose first re-search found no cut after a single
+        # (possibly plateau-quality) solve. The second worked round
+        # makes the first real solve-vs-solve comparison. (Per-lane:
+        # streaming refills restart lanes mid-batch.)
+        viol_prev = jnp.where(lane_rounds == 1, jnp.inf, viol)
+        viol = jnp.where(done, 0.0, viol_new)
+        # per-lane round budget (the batched path's former global cond)
+        done = done | (lane_rounds >= self.max_rounds)
         return {"c": c, "x": x, "y": y, "a": a_buf, "rhs": rhs_buf,
                 "count": count, "done": done, "viol": viol,
                 "viol_prev": viol_prev, "dropped": dropped,
