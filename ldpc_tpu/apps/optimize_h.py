@@ -81,22 +81,22 @@ class PopulationEvaluator:
         self.cfg = cfg
         self.n = n
         self.sharding = sharding
-        self._fn = None
+        self._fns: dict[int, object] = {}    # per-max_iter compiled evals
         # collective argmin over the (possibly sharded) per-candidate
         # correct-counts: returns (best index, best count)
         self._argbest = jax.jit(
             lambda c: (jnp.argmax(c), jnp.max(c)))
 
-    def _compile(self, trial_batch: int):
+    def _compile(self, max_iter: int):
         cfg = self.cfg
 
         def correct_counts(tables, llrs, cw):
             res = decode_qp_admm(tables, self.n, llrs, cfg.admm_alpha,
-                                 cfg.admm_mu, cfg.admm_max_iter, 1e-5)
+                                 cfg.admm_mu, max_iter, 1e-5)
             good = res.success & jnp.all(res.bits == cw, axis=-1)
             return jnp.sum(good.astype(jnp.int32))
 
-        self._fn = jax.jit(jax.vmap(correct_counts))
+        return jax.jit(jax.vmap(correct_counts))
 
     def _place(self, tree):
         """Shard a (P, ...) pytree over the mesh population axis."""
@@ -113,9 +113,11 @@ class PopulationEvaluator:
         return jax.tree.map(put, tree)
 
     def evaluate(self, candidates: list[np.ndarray], key,
-                 trials: int, trial_batch: int = 512) -> np.ndarray:
+                 trials: int, trial_batch: int = 512,
+                 max_iter: int | None = None) -> np.ndarray:
         """FER per candidate dense H. Returns (P,) float."""
         cfg = self.cfg
+        mi = int(max_iter or cfg.admm_max_iter)
         p_count = len(candidates)
         fers = np.ones(p_count)
         live = []
@@ -135,8 +137,9 @@ class PopulationEvaluator:
                 gen_random_codewords(cw_key, g, trials)))
         if not live:
             return fers
-        if self._fn is None:
-            self._compile(trial_batch)
+        if mi not in self._fns:
+            self._fns[mi] = self._compile(mi)
+        fn = self._fns[mi]
 
         # pad the live set to the population size so one compiled program
         # shape serves every generation. Pad slots replicate a live
@@ -169,7 +172,7 @@ class PopulationEvaluator:
                 k, (self.n,), jnp.float32))(keys)      # (t, n) shared
             cw_chunk = self._place(jnp.asarray(cw_all[:, start:stop]))
             llrs = inv_var * (bpsk(cw_chunk) + sigma * noise[None])
-            out = self._fn(stacked, llrs, cw_chunk)
+            out = fn(stacked, llrs, cw_chunk)
             correct_dev = out if correct_dev is None else correct_dev + out
         # collective argmax over the sharded population axis (the
         # generation's argmin-FER accept); pad slots replicate the last
@@ -183,33 +186,46 @@ class PopulationEvaluator:
         return fers
 
 
+class _Chain:
+    """One greedy-descent chain (incumbent + rejection streak)."""
+
+    def __init__(self, qc: QCMatrix, fer: float, screen: float,
+                 rejects: int = 0):
+        self.qc = qc
+        self.fer = fer            # incumbent FER at the full trial budget
+        self.screen = screen      # incumbent FER at the screen budget
+        self.rejects = rejects    # consecutive rejected proposals
+
+
 def optimize(cfg: OptimizeConfig, log=print):
+    """Population = ``cfg.population`` *independent descent chains* (one
+    mutation proposal per chain per generation, all evaluated in one
+    compiled program). A single serial chain — the reference's process
+    (``optimize_H.cpp:88-104``) — plateaus in the 1-block-mutation
+    neighborhood well above the reference's final FER, and the CRN-paired
+    accept test (far lower variance than the reference's already-paired
+    comparisons) makes the plateau sticky. Escapes, per chain:
+
+    * after ``kick_after`` consecutive rejections, proposals widen to
+      ``kick_blocks`` simultaneous block mutations (basin hopping);
+    * after ``reseed_after`` rejections, the chain restarts — alternating
+      between a perturbed copy of the global best and a fresh random
+      matrix — while the global best is never lost.
+
+    Two-speed evaluation: chains whose screen FER is far from the global
+    best's (> ``polish_margin``) descend greedily on the cheap CRN screen
+    alone (their full-budget FER is lazily stale); chains in contention
+    run the reference's accept rule — a promoted proposal is confirmed at
+    the full ``trials`` budget and accepted only if strictly better. The
+    global best is only ever updated from full-budget evaluations, so the
+    artifact's FER claim never rests on a 256-trial estimate.
+
+    The artifact (``save_path``) and the resumable state always hold the
+    global best across chains.
+    """
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
-
-    state_loaded = False
-    init_mat = None          # persisted so before/after analysis can recover
-    if cfg.state_path and os.path.exists(cfg.state_path):
-        with open(cfg.state_path) as f:
-            st = json.load(f)
-        qc = QCMatrix(cfg.block_size, np.array(st["present"], bool),
-                      np.array(st["shifts"], np.int64))
-        current_fer = st["fer"]
-        start_gen = st["generation"]
-        init_mat = st.get("initial")
-        state_loaded = True
-        log(f"resumed from {cfg.state_path} @ generation {start_gen}, "
-            f"FER={current_fer:.5f}", file=sys.stderr)
-    elif cfg.init_matrix:
-        qc = QCMatrix.from_dense(read_pcm(cfg.init_matrix), cfg.block_size)
-        start_gen = 0
-    else:
-        qc = QCMatrix.random(rng, cfg.block_size, cfg.block_rows,
-                             cfg.block_cols)
-        start_gen = 0
-    if init_mat is None:
-        init_mat = {"present": qc.present.tolist(),
-                    "shifts": qc.shifts.tolist()}
+    screen = min(cfg.screen_trials, cfg.trials)
 
     sharding = None
     if len(jax.devices()) > 1 and cfg.population % len(jax.devices()) == 0:
@@ -218,58 +234,181 @@ def optimize(cfg: OptimizeConfig, log=print):
         log(f"population sharded over {sharding.num_devices} devices",
             file=sys.stderr)
     ev = PopulationEvaluator(cfg, cfg.block_cols * cfg.block_size, sharding)
-    if not state_loaded:
-        current_fer = float(ev.evaluate([qc.to_dense()], key,
-                                        cfg.trials)[0])
-    # incumbent's screen-budget FER: the stage-A comparison point. Shared
-    # noise + shared trial indices make this directly comparable with every
-    # proposal's screen score.
-    screen = min(cfg.screen_trials, cfg.trials)
-    current_screen = float(ev.evaluate([qc.to_dense()], key, screen)[0])
-    log(f"initial FER={current_fer:.5f} (screen {current_screen:.5f})")
+
+    def eval_full(qcs: list[QCMatrix]) -> np.ndarray:
+        return ev.evaluate([q.to_dense() for q in qcs], key, cfg.trials)
+
+    def eval_screen(qcs: list[QCMatrix]) -> np.ndarray:
+        return ev.evaluate([q.to_dense() for q in qcs], key, screen,
+                           max_iter=cfg.screen_iters)
+
+    def fresh_qc() -> QCMatrix:
+        return QCMatrix.random(rng, cfg.block_size, cfg.block_rows,
+                               cfg.block_cols)
+
+    def perturbed(qc: QCMatrix, k: int = 4) -> QCMatrix:
+        for _ in range(k):
+            qc = qc.random_mutation(rng)
+        return qc
+
+    # ---- state ------------------------------------------------------
+    chains: list[_Chain] = []
+    init_mat = None          # persisted so before/after analysis can recover
+    start_gen = 0
+    reseed_flip = 0
+    if cfg.state_path and os.path.exists(cfg.state_path):
+        with open(cfg.state_path) as f:
+            st = json.load(f)
+        start_gen = st["generation"]
+        init_mat = st.get("initial")
+        reseed_flip = st.get("reseed_flip", 0)
+        if "chains" in st:
+            for ch in st["chains"]:
+                chains.append(_Chain(
+                    QCMatrix(cfg.block_size, np.array(ch["present"], bool),
+                             np.array(ch["shifts"], np.int64)),
+                    ch["fer"], ch["screen"], ch["rejects"]))
+        else:   # legacy single-incumbent state: seed chain 0 from it
+            qc0 = QCMatrix(cfg.block_size, np.array(st["present"], bool),
+                           np.array(st["shifts"], np.int64))
+            chains.append(_Chain(qc0, st["fer"],
+                                 float(eval_screen([qc0])[0])))
+        if chains:
+            # re-baseline screens under the current (screen_iters,
+            # screen_trials) config — stored values may predate it
+            for c, s in zip(chains, eval_screen([c.qc for c in chains])):
+                c.screen = float(s)
+        log(f"resumed from {cfg.state_path} @ generation {start_gen}, "
+            f"best FER={min(c.fer for c in chains):.5f} "
+            f"({len(chains)} chains)", file=sys.stderr)
+    elif cfg.init_matrix:
+        qc0 = QCMatrix.from_dense(read_pcm(cfg.init_matrix), cfg.block_size)
+        chains.append(_Chain(qc0, float(eval_full([qc0])[0]),
+                             float(eval_screen([qc0])[0])))
+    while len(chains) < cfg.population:      # top up with random inits
+        qcs = [fresh_qc() for _ in range(cfg.population - len(chains))]
+        scrs = eval_screen(qcs)
+        for q, s in zip(qcs, scrs):
+            chains.append(_Chain(q, float("inf"), float(s)))
+    chains = chains[:cfg.population]
+    best = min(chains, key=lambda c: c.fer)
+    if not np.isfinite(best.fer):        # fresh start: establish the best
+        cand = min(chains, key=lambda c: c.screen)
+        cand.fer = float(eval_full([cand.qc])[0])
+        best = cand
+    best_qc, best_fer, best_screen = best.qc, best.fer, best.screen
+    if init_mat is None:
+        init_mat = {"present": best_qc.present.tolist(),
+                    "shifts": best_qc.shifts.tolist()}
+    log("initial chain screen FERs: "
+        + " ".join(f"{c.screen:.3f}" for c in chains))
 
     def checkpoint(gen_done: int):
-        save_matrix(qc.to_dense(), cfg.save_path)
+        save_matrix(best_qc.to_dense(), cfg.save_path)
         if cfg.state_path:
             with open(cfg.state_path, "w") as f:
-                json.dump({"present": qc.present.tolist(),
-                           "shifts": qc.shifts.tolist(),
-                           "fer": current_fer,
-                           "generation": gen_done,
-                           "initial": init_mat}, f)
+                json.dump({
+                    "present": best_qc.present.tolist(),
+                    "shifts": best_qc.shifts.tolist(),
+                    "fer": best_fer,
+                    "generation": gen_done,
+                    "reseed_flip": reseed_flip,
+                    "initial": init_mat,
+                    "chains": [{"present": c.qc.present.tolist(),
+                                "shifts": c.qc.shifts.tolist(),
+                                "fer": c.fer, "screen": c.screen,
+                                "rejects": c.rejects} for c in chains]}, f)
 
     # ceil: the proposal budget is cfg.generations total proposals (the
     # reference's 10,000 serial proposals, optimize_H.cpp:133); a floor
     # division would silently shrink it by up to population-1
     rounds = max(1, -(-(cfg.generations - start_gen) // cfg.population))
     n_full = 0
+
+    def full_of(qcs: list[QCMatrix]) -> list[float]:
+        """Full-budget FERs, padded by repeats to the next power of two so
+        a handful of compiled shapes serves every promotion count (the
+        common case is a single promoted proposal — padding it to the full
+        population would make the eval 8x the work)."""
+        nonlocal n_full
+        n_full += len(qcs)
+        p = 1
+        while p < len(qcs):
+            p *= 2
+        idx = (list(range(len(qcs))) * p)[:p]
+        vals = eval_full([qcs[i] for i in idx])
+        return [float(vals[idx.index(i)]) for i in range(len(qcs))]
+
     for gen in range(rounds):
         t0 = time.perf_counter()
-        proposals = [qc.random_mutation(rng) for _ in range(cfg.population)]
-        fers_s = ev.evaluate([p.to_dense() for p in proposals], key, screen)
-        best = int(np.argmin(fers_s))
-        promoted = fers_s[best] <= current_screen + cfg.screen_margin
-        if promoted:
-            fer_full = float(ev.evaluate([proposals[best].to_dense()], key,
-                                         cfg.trials)[0])
-            n_full += 1
-        log(f"\tgeneration {start_gen + gen * cfg.population}: "
-            f"best screen FER={fers_s[best]:.5f}"
-            + (f", full FER={fer_full:.5f}" if promoted else " (skipped)")
-            + f" ({time.perf_counter() - t0:.2f}s for {cfg.population} "
-            f"proposals, {n_full} full evals so far)")
-        if promoted and fer_full < current_fer:
-            qc = proposals[best]
-            current_fer = fer_full
-            current_screen = float(fers_s[best])
-            log(f"accept, FER={current_fer:.5f}")
-            checkpoint(start_gen + (gen + 1) * cfg.population)
+        proposals = []
+        for c in chains:
+            k = cfg.kick_blocks if c.rejects >= cfg.kick_after else 1
+            proposals.append(perturbed(c.qc, k) if k > 1
+                             else c.qc.random_mutation(rng))
+        fers_s = eval_screen(proposals)
+
+        polish = [i for i, c in enumerate(chains)
+                  if c.screen <= best_screen + cfg.polish_margin]
+        # lazily materialize stale incumbent full-FERs of polish chains
+        stale = [i for i in polish if not np.isfinite(chains[i].fer)]
+        if stale:
+            for i, v in zip(stale, full_of([chains[i].qc for i in stale])):
+                chains[i].fer = v
+                if v < best_fer:
+                    best_qc, best_fer = chains[i].qc, v
+                    best_screen = chains[i].screen
+                    log(f"new global best FER={best_fer:.5f} "
+                        f"(chain {i} incumbent)")
+        promote = [i for i in polish
+                   if fers_s[i] <= chains[i].screen + cfg.screen_margin]
+        fers_f = dict(zip(promote, full_of([proposals[i] for i in promote]))
+                      ) if promote else {}
+        accepts = 0
+        for i, c in enumerate(chains):
+            if i in fers_f:                     # polish: confirmed accept
+                ok = fers_f[i] < c.fer
+            elif i in polish:
+                ok = False
+            else:                               # explore: screen-greedy
+                ok = fers_s[i] < c.screen
+            if ok:
+                c.qc = proposals[i]
+                c.fer = fers_f.get(i, float("inf"))
+                c.screen, c.rejects = float(fers_s[i]), 0
+                accepts += 1
+                if c.fer < best_fer:
+                    best_qc, best_fer = c.qc, c.fer
+                    best_screen = c.screen
+                    log(f"new global best FER={best_fer:.5f}")
+            else:
+                c.rejects += 1
+                if c.rejects >= cfg.reseed_after:
+                    nq = (perturbed(best_qc) if reseed_flip % 2 == 0
+                          else fresh_qc())
+                    reseed_flip += 1
+                    c.qc = nq
+                    c.fer = float("inf")
+                    c.screen = float(eval_screen([nq])[0])
+                    c.rejects = 0
+                    log(f"chain {i} reseeded "
+                        f"({'best+kick' if reseed_flip % 2 else 'random'}),"
+                        f" screen={c.screen:.5f}")
+        gen_done = start_gen + (gen + 1) * cfg.population
+        log(f"\tgeneration {gen_done - cfg.population}: "
+            f"screens best={float(np.min(fers_s)):.5f}, "
+            f"{len(polish)} polishing, {len(promote)} promoted, "
+            f"{accepts} accepted, best FER={best_fer:.5f} "
+            f"({time.perf_counter() - t0:.2f}s, {n_full} full evals)")
+        if accepts or gen % 25 == 24:
+            checkpoint(gen_done)
     # persist the proposal count even when the tail accepts nothing, so a
     # resumed run continues the budget instead of redoing it
     checkpoint(start_gen + rounds * cfg.population)
-    final = float(ev.evaluate([qc.to_dense()], key, cfg.final_trials)[0])
+    final = float(ev.evaluate([best_qc.to_dense()], key,
+                              cfg.final_trials)[0])
     log(f"final FER ({cfg.final_trials} trials): {final:.5f}")
-    return qc, final
+    return best_qc, final
 
 
 def main(argv=None):

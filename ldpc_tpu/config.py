@@ -97,10 +97,24 @@ class OptimizeConfig:
     admm_mu: float = 0.5
     admm_max_iter: int = 1000
     generations: int = 10000             # proposals (optimize_H.cpp:133)
-    population: int = 8                  # proposals evaluated per generation
+    population: int = 8                  # parallel descent chains (one
+    # proposal per chain per generation; the reference is population=1)
     screen_trials: int = 256             # stage-A shared-noise screen size
-    screen_margin: float = 0.07          # ~2 sigma at 256 trials; a screen
-    # best within this of the incumbent's screen FER earns a full evaluation
+    screen_iters: int = 600              # ADMM iteration cap for screens
+    # only — accepts that can touch the artifact are always confirmed at
+    # the full (admm_max_iter, trials) budget, so this trades screen-
+    # ranking fidelity for ~1.7x generation throughput
+    screen_margin: float = 0.03          # ~2 paired sigma at 256 trials; in
+    # polish mode a proposal within this of the incumbent's screen FER
+    # earns a full evaluation
+    polish_margin: float = 0.04          # chains whose screen FER is within
+    # this of the global best's switch from screen-greedy descent to
+    # full-budget confirmed accepts (the reference's accept rule)
+    kick_after: int = 60                 # consecutive rejections before a
+    # chain widens its proposals to multi-block mutations (basin hopping)
+    kick_blocks: int = 3                 # blocks mutated per kicked proposal
+    reseed_after: int = 200              # consecutive rejections before a
+    # chain restarts (alternating global-best-perturbed / fresh random)
     seed: int = 239
     init_matrix: str | None = None       # warm start path; None -> random
     save_path: str = "data/optimalH_tpu.txt"
