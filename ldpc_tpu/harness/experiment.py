@@ -326,7 +326,8 @@ def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
 
 def run_streaming_experiment(decoder, h, codewords, snr: float, key,
                              batch_size: int = 256, fetch_every: int = 4,
-                             warmup: bool = True) -> ExperimentResult:
+                             warmup: bool = True,
+                             sharding=None) -> ExperimentResult:
     """FER estimation with converged-lane draining (straggler fix).
 
     The reference's pthread work queue (``experiment.h:86-93``) gives every
@@ -342,6 +343,14 @@ def run_streaming_experiment(decoder, h, codewords, snr: float, key,
     ``fold_in`` — identical noise to the batched path, so per-trial decode
     results are bit-identical). The host only polls a scalar active-lane
     count every ``fetch_every`` chunks (~one 27 ms tunnel RTT each).
+
+    ``sharding``: optional :class:`ldpc_tpu.parallel.mesh.TrialSharding`.
+    The lane axis (solver state, trial indices, codewords) is placed on the
+    mesh's trial axis after initialization; jit propagates the shardings
+    through every chunk, so lane-local work stays device-local and the
+    scalar counter updates lower to cross-device reductions — the streaming
+    analogue of the batched runner's counter psum (``merge_exp_results``,
+    ``experiment.h:70-78``). Requires ``batch_size % num_devices == 0``.
     """
     cw = np.asarray(codewords, dtype=np.uint8)
     t_total, n = cw.shape
@@ -423,12 +432,28 @@ def run_streaming_experiment(decoder, h, codewords, snr: float, key,
     start_j = jax.jit(start)
     step_j = jax.jit(step, donate_argnums=0)
 
+    def place(carry):
+        """Shard the lane axis of the carry over the mesh's trial axis."""
+        if sharding is None:
+            return carry
+        assert bsz % sharding.num_devices == 0, (bsz, sharding.num_devices)
+
+        def put(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == bsz:
+                return jax.device_put(
+                    x, sharding.batch_sharding if x.ndim > 1
+                    else sharding.index_sharding)
+            return x
+        st, idx, cwb, hd, active, consumed, counters = carry
+        return (jax.tree.map(put, st), put(idx), put(cwb), put(hd),
+                put(active), consumed, counters)
+
     if warmup:
-        carry = start_j()
+        carry = place(start_j())
         jax.device_get(step_j(carry)[1])  # compile both programs
 
     t_start = time.perf_counter()
-    carry = start_j()
+    carry = place(start_j())
     n_active = None
     t_poll = time.perf_counter()
     while True:
