@@ -85,7 +85,7 @@ class BPDecoder:
     def __init__(self, h, max_iter: int = 100, variant: str = "sumprod",
                  layout: str = "mxu", ms_factor: float = 0.75,
                  dtype=jnp.float32, fixed_iters: bool = False,
-                 mxu_dtype=jnp.float32):
+                 mxu_dtype=jnp.bfloat16, unroll: int = 2):
         self.name = "BP"
         self.graph = g = CodeGraph.from_h(np.asarray(h))
         self.n = g.n
@@ -114,7 +114,7 @@ class BPDecoder:
             self.tile_b = 128
             self._pallas = make_bp_pallas_decoder(
                 g.h, max_iter=self.max_iter, tile_b=self.tile_b,
-                mm_dtype=mxu_dtype)
+                mm_dtype=mxu_dtype, unroll=unroll)
         if layout == "mxu":
             # edge->column incidence: S[e, col(e)] = 1 (pad slots all-zero)
             e_flat = g.m * g.dc_max

@@ -197,6 +197,52 @@ def run_multi_snr_experiment(decoder: Decoder, h, codewords, snrs, key,
     trial_idx = np.repeat(np.arange(t_total, dtype=np.int32), s_count)
     total_lanes = s_count * t_total
 
+    # fused single-device path: one upload, lax.scan over batches, one
+    # fetch (see run_experiment — the per-batch tunnel round trips cap fast
+    # decoders at a fraction of kernel throughput)
+    if (sharding is None and total_lanes % batch_size == 0
+            and t_total * (n + 1) < 2**31):
+        n_batches = total_lanes // batch_size
+
+        @jax.jit
+        def run_all(cw_all, tidx_all, sid_all):
+            def body(acc, i):
+                s0 = i * batch_size
+                batch = jax.lax.dynamic_slice_in_dim(tidx_all, s0,
+                                                     batch_size)
+                sid = jax.lax.dynamic_slice_in_dim(sid_all, s0, batch_size)
+                out = step(jnp.take(cw_all, batch, axis=0), batch, sid)
+                return jax.tree.map(jnp.add, acc, out), None
+
+            zeros = {k: jnp.zeros((s_count,), jnp.int32) for k in (
+                "total", "correct", "pseudo", "sum_hamming",
+                "sum_hamming_ok", "sum_hamming_wrong", "sum_iterations",
+                "sum_dropped")}
+            acc, _ = jax.lax.scan(
+                body, zeros, jnp.arange(n_batches, dtype=jnp.int32))
+            return acc
+
+        args = (jnp.asarray(cw), jnp.asarray(trial_idx),
+                jnp.asarray(snr_ids))
+        if warmup:
+            jax.device_get(run_all(*args))
+        t_start = time.perf_counter()
+        agg_dev = jax.device_get(run_all(*args))
+        elapsed = time.perf_counter() - t_start
+        results = []
+        for si in range(s_count):
+            results.append(ExperimentResult(
+                total=int(agg_dev["total"][si]),
+                correct=int(agg_dev["correct"][si]),
+                pseudo=int(agg_dev["pseudo"][si]),
+                sum_hamming=int(agg_dev["sum_hamming"][si]),
+                sum_hamming_ok=int(agg_dev["sum_hamming_ok"][si]),
+                sum_hamming_wrong=int(agg_dev["sum_hamming_wrong"][si]),
+                sum_iterations=int(agg_dev["sum_iterations"][si]),
+                sum_dropped=int(agg_dev["sum_dropped"][si]),
+                time_sec=elapsed / s_count))
+        return results
+
     def place(*arrs):
         out = []
         for a in arrs:
@@ -279,6 +325,43 @@ def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
     cw = np.asarray(codewords, dtype=np.uint8)
     t_total, n = cw.shape
     step = make_experiment_step(decoder, h, snr, key)
+
+    # Single-device fused path: the codeword table uploads ONCE and the
+    # whole batch loop runs on device as a lax.scan with device-side counter
+    # accumulation — one dispatch, one result fetch. The host-loop variant
+    # below re-enters the tunnel per batch (dispatch + a 2 MB codeword
+    # upload each time), which was measured to cap fast decoders (BP) at
+    # ~1/3 of their kernel throughput. int32 counter bound: the scan
+    # accumulates sum_hamming <= T*n, so the fused path requires
+    # T*(n+1) < 2^31 (beyond that the host loop flushes every 64 batches).
+    if (sharding is None and t_total % batch_size == 0
+            and t_total * (n + 1) < 2**31):
+        n_batches = t_total // batch_size
+        base_idx = jnp.arange(batch_size, dtype=jnp.int32)
+
+        @jax.jit
+        def run_all(cw_all):
+            def body(acc, i):
+                batch = jax.lax.dynamic_slice(
+                    cw_all, (i * batch_size, 0), (batch_size, n))
+                out = step(batch, i * batch_size + base_idx)
+                return jax.tree.map(jnp.add, acc, out), None
+
+            zeros = {k: jnp.int32(0) for k in (
+                "total", "correct", "pseudo", "sum_hamming",
+                "sum_hamming_ok", "sum_hamming_wrong", "sum_iterations",
+                "sum_dropped")}
+            acc, _ = jax.lax.scan(
+                body, zeros, jnp.arange(n_batches, dtype=jnp.int32))
+            return acc
+
+        cw_dev = jnp.asarray(cw)
+        if warmup:
+            jax.device_get(run_all(cw_dev))  # compile (fetch = real sync)
+        t_start = time.perf_counter()
+        result = _fetch_counters(run_all(cw_dev))
+        result.time_sec = time.perf_counter() - t_start
+        return result
 
     def place(batch, idx):
         b_dev, i_dev = jnp.asarray(batch), jnp.asarray(idx)

@@ -42,7 +42,7 @@ def _phi(x):
 
 def _kernel(llr_ref, s_ref, st_ref, ht_ref, mask_ref, r_ref, rt_ref,
             bits_ref, done_ref, iters_ref, *, max_iter: int, m: int,
-            dc: int, n: int, mm_dtype=jnp.float32):
+            dc: int, n: int, mm_dtype=jnp.float32, unroll: int = 1):
     llr = llr_ref[:]                                   # (Bt, n)
     mask = mask_ref[:]                                 # (1, m*dc) 0/1
     s = s_ref[:]                                       # (m*dc, n)
@@ -58,11 +58,16 @@ def _kernel(llr_ref, s_ref, st_ref, ht_ref, mask_ref, r_ref, rt_ref,
 
     def check_update(v2c):
         # Mosaic has no (Bt, md) -> (Bt, m, dc) reshape; express the per-row
-        # reduce + re-broadcast as one-hot matmuls (edge->row->edge).
+        # reduce + re-broadcast as one-hot matmuls (edge->row->edge). The
+        # magnitude and sign-count reductions share the same (r, r^T) pair,
+        # so stack them along the sublane axis: two (2Bt, .) matmuls instead
+        # of four (Bt, .) ones — same flops, half the MXU dispatches, and a
+        # deeper pipe through the systolic array.
         neg = jnp.where((v2c <= 0.0) & (mask > 0), 1.0, 0.0)   # (Bt, md)
         mag = jnp.where(mask > 0, _phi(jnp.abs(v2c)), 0.0)
-        srow_e = mm(mm(mag, r_mat), rt_mat)                    # row sums
-        nneg_e = mm(mm(neg, r_mat), rt_mat)
+        both = jnp.concatenate([mag, neg], axis=0)             # (2Bt, md)
+        edge = mm(mm(both, r_mat), rt_mat)                     # row sums
+        srow_e, nneg_e = edge[:bt], edge[bt:]
         sign_e = 1.0 - 2.0 * neg
         sign_tot = 1.0 - 2.0 * (nneg_e % 2.0)
         c2v = sign_tot * sign_e * _phi(srow_e - mag)
@@ -82,22 +87,26 @@ def _kernel(llr_ref, s_ref, st_ref, ht_ref, mask_ref, r_ref, rt_ref,
 
     # Mosaic dislikes (Bt,1)/bool vectors in the loop carry; mutate the
     # output refs instead and carry only (iter, all_done scalar, v2c).
+    # ``unroll`` iterations run per while_loop trip — the per-iteration
+    # syndrome check and freeze semantics are unchanged (each unrolled
+    # iteration still checks and records its own exit); only the loop
+    # condition (a tile-wide min-reduce + scalar compare) amortizes.
     def body(state):
         it, _, v2c = state
-        v2c_next, bits_new = iteration(v2c)
-        parity = mm(bits_new, ht)
-        frac = parity - 2.0 * jnp.floor(parity * 0.5)      # parity mod 2
-        bad = jnp.sum(frac, axis=-1, keepdims=True)        # 0 iff codeword
-        done_prev = done_ref[:]
-        ok = jnp.where(bad < 0.5, 1.0, 0.0)
-        newly = ok * (1.0 - done_prev)
-        bits_ref[:] = jnp.where(done_prev > 0.0, bits_ref[:], bits_new)
-        iters_ref[:] = jnp.where(newly > 0.0, jnp.float32(it + 1),
-                                 iters_ref[:])
-        done_now = jnp.maximum(done_prev, ok)
-        done_ref[:] = done_now
-        all_done = jnp.min(done_now) > 0.0
-        return it + 1, all_done, v2c_next
+        for u in range(unroll):
+            v2c, bits_new = iteration(v2c)
+            parity = mm(bits_new, ht)
+            frac = parity - 2.0 * jnp.floor(parity * 0.5)  # parity mod 2
+            bad = jnp.sum(frac, axis=-1, keepdims=True)    # 0 iff codeword
+            done_prev = done_ref[:]
+            ok = jnp.where(bad < 0.5, 1.0, 0.0)
+            newly = ok * (1.0 - done_prev)
+            bits_ref[:] = jnp.where(done_prev > 0.0, bits_ref[:], bits_new)
+            iters_ref[:] = jnp.where(newly > 0.0, jnp.float32(it + u + 1),
+                                     iters_ref[:])
+            done_ref[:] = jnp.maximum(done_prev, ok)
+        all_done = jnp.min(done_ref[:]) > 0.0
+        return it + unroll, all_done, v2c
 
     def cond(state):
         it, all_done, _ = state
@@ -107,9 +116,11 @@ def _kernel(llr_ref, s_ref, st_ref, ht_ref, mask_ref, r_ref, rt_ref,
 
 
 def make_bp_pallas_decoder(h, max_iter: int = 50, tile_b: int = 128,
-                           mm_dtype=jnp.float32):
+                           mm_dtype=jnp.float32, unroll: int = 1):
     """Returns a jitted fn llrs (B, n) -> (bits i32, done i32 (B,1),
     iters i32 (B,1)); B must be a multiple of tile_b."""
+    if max_iter % max(unroll, 1):
+        unroll = 1                     # keep the exact max_iter semantics
     g = CodeGraph.from_h(np.asarray(h))
     m, n, dc = g.m, g.n, g.dc_max
     md = m * dc
@@ -127,7 +138,7 @@ def make_bp_pallas_decoder(h, max_iter: int = 50, tile_b: int = 128,
     rt_dev = jnp.asarray(r_np.T.copy())
 
     kernel = functools.partial(_kernel, max_iter=max_iter, m=m, dc=dc, n=n,
-                               mm_dtype=mm_dtype)
+                               mm_dtype=mm_dtype, unroll=max(unroll, 1))
 
     @jax.jit
     def decode(llrs):
