@@ -33,9 +33,12 @@ class ReportWriter:
                  resume: bool = False):
         """``resume=False`` (default) truncates any prior file — re-running
         a sweep replaces its artifact rather than appending a duplicate
-        block. ``resume=True`` appends (crash recovery / --snrs fill-in)."""
+        block. ``resume=True`` appends (crash recovery / --snrs fill-in);
+        on close, the file is de-duplicated by (Method, SNR) keeping the
+        newest row, so re-running an already-present point replaces it."""
         self.path = path
         self.extended = extended
+        self.resume = resume
         header = EXTENDED_HEADER if extended else REFERENCE_HEADER
         write_header = (not resume or not os.path.exists(path)
                         or os.path.getsize(path) == 0)
@@ -64,6 +67,33 @@ class ReportWriter:
 
     def close(self) -> None:
         self._f.close()
+        if self.resume:
+            self._dedup()
+
+    def _dedup(self) -> None:
+        """Keep the newest row per (Method, SNR); preserve header + order of
+        first appearance. Also drops stray duplicate header lines from
+        historical appends."""
+        with open(self.path) as f:
+            lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+        if not lines:
+            return
+        header, body = lines[0], [ln for ln in lines[1:]
+                                  if not ln.startswith("Method,")]
+        newest: dict[tuple[str, str], str] = {}
+        order: list[tuple[str, str]] = []
+        for ln in body:
+            parts = ln.split(",")
+            if len(parts) < 2:
+                continue
+            k = (parts[0], parts[1])
+            if k not in newest:
+                order.append(k)
+            newest[k] = ln
+        with open(self.path, "w") as f:
+            f.write(header + "\n")
+            for k in order:
+                f.write(newest[k] + "\n")
 
     def __enter__(self):
         return self

@@ -5,10 +5,12 @@ its starting matrix to its optimized one (optimize_H.cpp:88-135, notebook
 cells 6-7: H05 0.3380 -> optimalH 0.2751 at SNR=-3). Our population-parallel
 run (`apps/optimize_h.py`, defaults: seed=239, random 8x14/z=20 QC init)
 checkpoints to data/optimalH_tpu.txt + data/optimize_state.json. This
-script re-derives the run's *initial* matrix from the seed (QCMatrix.random
-is deterministic), measures initial vs optimized FER at the evaluation
-config (QP-ADMM alpha=1.95 mu=0.5, 1000 iters, SNR=-3) with a 10k-trial
-budget and shared noise, and writes reports/optimize_before_after.json.
+script reads the run's *initial* matrix from the state file (persisted at
+run start since round 4; falls back to re-deriving it from the seed with a
+warning for legacy states), measures initial vs optimized FER at the
+evaluation config (QP-ADMM alpha=1.95 mu=0.5, 1000 iters, SNR=-3) with a
+10k-trial budget and shared noise, and writes
+reports/optimize_before_after.json.
 
 Run: python scripts/opt_before_after.py [trials]
 """
@@ -30,12 +32,22 @@ from ldpc_tpu.config import OptimizeConfig
 def main():
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     cfg = OptimizeConfig()
-    rng = np.random.default_rng(cfg.seed)
-    init = QCMatrix.random(rng, cfg.block_size, cfg.block_rows,
-                           cfg.block_cols).to_dense()
-    opt = read_pcm("data/optimalH_tpu.txt")
     with open("data/optimize_state.json") as f:
-        gen = json.load(f)["generation"]
+        st = json.load(f)
+    gen = st["generation"]
+    if "initial" in st:
+        init = QCMatrix(cfg.block_size,
+                        np.array(st["initial"]["present"], bool),
+                        np.array(st["initial"]["shifts"],
+                                 np.int64)).to_dense()
+    else:
+        print("WARNING: legacy state without the initial matrix; "
+              "re-deriving from OptimizeConfig defaults (wrong if the run "
+              "used --init-matrix or a different seed)", file=sys.stderr)
+        rng = np.random.default_rng(cfg.seed)
+        init = QCMatrix.random(rng, cfg.block_size, cfg.block_rows,
+                               cfg.block_cols).to_dense()
+    opt = read_pcm("data/optimalH_tpu.txt")
 
     key = jax.random.PRNGKey(cfg.seed)
     ev = PopulationEvaluator(cfg, cfg.block_cols * cfg.block_size)
