@@ -151,9 +151,6 @@ class _AdaptiveLPBase:
         self.ipm_tol = 1e-5
         # shifted warm start across cut rounds (see ops.ipm_solver)
         self.ipm_warm = True
-        # normal-matrix einsum precision ("highest" | "high"); see
-        # ops.ipm_solver — Cholesky/solves always run HIGHEST
-        self.ipm_mat_precision = "highest"
         # adaptive inner-solve budget: chunks of lp_iters up to lp_max_iters,
         # stopping when the worst batch violation is below lp_tol. The cut
         # threshold must exceed the solve tolerance (cut_tol > lp_tol), else
@@ -280,8 +277,7 @@ class _AdaptiveLPBase:
                         x_t, y_t, v_t = ipm_box_lp(
                             obj_, a_t[:, :t], rhs_t[:, :t],
                             iters=self.ipm_iters, tol=self.ipm_tol,
-                            active=act_,
-                            mat_precision=self.ipm_mat_precision, **warm)
+                            active=act_, **warm)
                     elif self.lp_backend == "xla" or t % 128 != 0:
                         x_t, y_t, v_t = pdhg_box_lp(
                             obj_, a_t[:, :t], rhs_t[:, :t], xx_,

@@ -46,8 +46,7 @@ def _pos_step(v, dv, frac: float = 0.995):
 
 def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
                active=None, delta: float = 1e-6, check_every: int = 5,
-               x0=None, y0=None, warm_shift: float = 1e-2,
-               mat_precision: str = "highest"):
+               x0=None, y0=None, warm_shift: float = 1e-2):
     """Mehrotra predictor-corrector IPM, batched over lanes. All matmuls
     (einsums AND the Cholesky / triangular-solve internals) run at
     Precision.HIGHEST: the TPU MXU's default f32 path rounds inputs to
@@ -129,19 +128,14 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
             dxu = jnp.clip(zu / w, 1e-10, 1e10)
             dxx = dxl + dxu                                         # (B, n)
 
-            # the normal-matrix build is the largest flop term (B*n^2*T);
-            # mat_precision="high" (bf16x3, 3 MXU passes instead of 6)
-            # halves it. The *factorization* and the Newton solves stay
-            # HIGHEST — they are where bf16 rounding breaks the late
-            # systems; M itself is a sum of rank-1 terms whose bf16x3
-            # error (~1e-7 relative) sits below the delta*I regularizer.
             m = jnp.einsum("bri,br,brj->bij", a, dy_s, a,
-                           preferred_element_type=f32,
-                           precision=(jax.lax.Precision.HIGHEST
-                                      if mat_precision == "highest"
-                                      else jax.lax.Precision.HIGH))
+                           preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
             m = m + jax.vmap(jnp.diag)(dxx) + delta * eye[None]
             chol = jnp.linalg.cholesky(m)
+
+            def m_solve(r):
+                return jax.scipy.linalg.cho_solve(
+                    (chol, True), r[..., None])[..., 0]
 
             def solve_dir(sig_mu, extra_y, extra_l, extra_u):
                 """Newton direction for complementarity targets
@@ -154,8 +148,7 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
                        - jnp.einsum("brn,br->bn", a, ry + dy_s * rp,
                                     preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
                        + rl - ru)
-                dx = jax.scipy.linalg.cho_solve(
-                    (chol, True), rhs[..., None])[..., 0]
+                dx = m_solve(rhs)
                 ds = -rp - jnp.einsum("brn,bn->br", a, dx,
                                       preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
                 dy = ry - dy_s * ds

@@ -23,9 +23,7 @@ for tier in (128, 256, 512, 1024):
                 sgn[0] = 1.0
             aa[l, i, supp] = sgn
             bb[l, i] = (sgn > 0).sum() - 1
-    import os
-    prec = os.environ.get('IPM_PREC', 'highest')
-    f = jax.jit(lambda c, a, b: ipm_box_lp(c, a, b, iters=40, mat_precision=prec))
+    f = jax.jit(lambda c, a, b: ipm_box_lp(c, a, b, iters=40))
     c, a, b = jnp.asarray(cc), jnp.asarray(aa), jnp.asarray(bb)
     r = f(c, a, b)
     jax.block_until_ready(r)
