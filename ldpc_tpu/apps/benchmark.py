@@ -47,17 +47,32 @@ def run_sweep(cfg: SweepConfig, log=print) -> list[tuple[str, float, object]]:
     if cfg.shard and len(jax.devices()) > 1:
         sharding = make_trial_mesh()
 
+    done: set[tuple[str, float]] = set()
+    if cfg.resume:
+        import csv
+        import os
+        if os.path.exists(cfg.report):
+            with open(cfg.report) as f:
+                for rec in csv.DictReader(f):
+                    done.add((rec["Method"], round(float(rec["SNR"]), 6)))
+        log(f"resume: {len(done)} rows already present", file=sys.stderr)
+
     rows = []
-    with ReportWriter(cfg.report) as rep:
-        ext = (ReportWriter(cfg.extended_report, extended=True)
+    with ReportWriter(cfg.report, resume=cfg.resume) as rep:
+        ext = (ReportWriter(cfg.extended_report, extended=True,
+                            resume=cfg.resume)
                if cfg.extended_report else None)
         try:
             for kind in cfg.decoders:
+                name = CSV_NAMES.get(kind, kind)
+                todo = [s for s in cfg.snrs
+                        if (name, round(float(s), 6)) not in done]
+                if not todo:
+                    continue
                 dec = make_decoder(kind, h, cfg.decoder_cfg)
                 bs = cfg.batch_size or default_batch(kind)
-                name = CSV_NAMES.get(kind, dec.name)
                 log(f"Algo: {name}")
-                for snr in cfg.snrs:
+                for snr in todo:
                     res = run_experiment(dec, h, codewords, float(snr),
                                          noise_key, bs,
                                          sharding=sharding)

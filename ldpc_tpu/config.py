@@ -59,6 +59,10 @@ class SweepConfig:
     seed: int = 239_239_239              # main.cpp:63
     report: str = "report.csv"
     extended_report: str | None = "report_extended.csv"
+    resume: bool = False                 # skip (Method, SNR) rows already in
+    # the report and append the rest — crash recovery at row granularity
+    # (the reference's streamed report.csv keeps completed rows the same
+    # way, main.cpp:79-86)
     shard: bool = True                   # shard trials over the device mesh
     decoder_cfg: DecoderConfig = field(default_factory=DecoderConfig)
 

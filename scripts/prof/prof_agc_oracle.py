@@ -72,11 +72,20 @@ for _k, _v in KW.items():
     if _k not in _sig:
         assert hasattr(dec, _k), _k
         setattr(dec, _k, _v)
-r = dec.decode_batch(llrs)
-ours_ok = np.asarray(r.success) & ~np.any(
-    np.asarray(r.bits) != cw, axis=1)
-st = dec.stats(llrs)
-st = {k: np.asarray(v) for k, v in st.items()}
+# decode in chunks: one giant AGC batch is a single long device call, and
+# calls that run for minutes kill the tunneled TPU worker (UNAVAILABLE)
+CHUNK = 64
+ours_ok = np.zeros(N, bool)
+st = None
+for s in range(0, N, CHUNK):
+    sl = slice(s, min(s + CHUNK, N))
+    r = dec.decode_batch(llrs[sl])
+    ours_ok[sl] = np.asarray(r.success) & ~np.any(
+        np.asarray(r.bits) != cw[sl], axis=1)
+    part = {k: np.asarray(v) for k, v in dec.stats(llrs[sl]).items()}
+    st = part if st is None else {
+        k: np.concatenate([st[k], part[k]]) for k in st}
+    print(f"  ours {sl.stop}/{N}", flush=True)
 
 oracle_ok = np.zeros(N, bool)
 o_rows = np.zeros(N, int)
