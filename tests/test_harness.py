@@ -131,3 +131,20 @@ def test_streaming_matches_batched_alp(small_h):
             r_s.sum_dropped) == \
            (r_b.correct, r_b.pseudo, r_b.sum_hamming, r_b.sum_iterations,
             r_b.sum_dropped)
+
+
+def test_scan_fused_matches_host_loop(small_h):
+    """The single-device scan-fused runner (trials divisible by batch) must
+    produce identical counters to the host-loop path (forced here via a
+    non-dividing batch size over the same trial set)."""
+    g, _ = gf2_nullspace(small_h)
+    key = jax.random.PRNGKey(5)
+    cw = np.asarray(gen_random_codewords(key, g, 96))
+    dec = BPDecoder(small_h, max_iter=15)
+    fused = run_experiment(dec, small_h, cw, snr=1.0, key=key,
+                           batch_size=32)          # 96 % 32 == 0 -> scan
+    hostl = run_experiment(dec, small_h, cw, snr=1.0, key=key,
+                           batch_size=36)          # 96 % 36 != 0 -> loop
+    for f in ("total", "correct", "pseudo", "sum_hamming",
+              "sum_hamming_ok", "sum_hamming_wrong", "sum_iterations"):
+        assert getattr(fused, f) == getattr(hostl, f), f
