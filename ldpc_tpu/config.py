@@ -29,9 +29,10 @@ class DecoderConfig:
     lp_max_rounds: int = 64              # ALP cut rounds cap (while-loop guard)
     # PDHG chunk length between violation/stall checks. Smaller chunks stop
     # warm-started re-solves sooner (the cut loops re-solve after adding a
-    # handful of rows); measured FER-neutral at -3 dB from 600 down to 100,
-    # with ALP throughput 267 -> 672 cw/s and AGC-ALP 40 -> 133.
-    lp_iters: int = 100
+    # handful of rows); measured FER-neutral at -3 dB from 600 down to 64
+    # (round 4: 64-chunks + the ALP decoder's 2048-iter budget lift ALP
+    # 952 -> 1248 cw/s at -3, matching the reference aggregate).
+    lp_iters: int = 64
     # FullLP's *total* PDHG iteration budget. Distinct from lp_iters, which
     # became the chunk length of the adaptive solvers: FullLP solves one
     # static LP over the whole cascaded polytope and needs the full budget

@@ -318,6 +318,7 @@ def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
     """
     if streaming == "auto":
         streaming = (sharding is None and hasattr(decoder, "stream_init")
+                     and getattr(decoder, "prefer_streaming", True)
                      and len(codewords) >= 2 * batch_size)
     if streaming:
         return run_streaming_experiment(decoder, h, codewords, snr, key,
