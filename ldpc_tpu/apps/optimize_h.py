@@ -256,6 +256,13 @@ def optimize(cfg: OptimizeConfig, log=print):
     init_mat = None          # persisted so before/after analysis can recover
     start_gen = 0
     reseed_flip = 0
+    persisted_best: _Chain | None = None
+
+    def _fer_load(v) -> float:
+        # checkpoint() serializes non-finite FERs as null (strict JSON has
+        # no Infinity token); map back to +inf here
+        return float("inf") if v is None else float(v)
+
     if cfg.state_path and os.path.exists(cfg.state_path):
         with open(cfg.state_path) as f:
             st = json.load(f)
@@ -267,11 +274,21 @@ def optimize(cfg: OptimizeConfig, log=print):
                 chains.append(_Chain(
                     QCMatrix(cfg.block_size, np.array(ch["present"], bool),
                              np.array(ch["shifts"], np.int64)),
-                    ch["fer"], ch["screen"], ch["rejects"]))
+                    _fer_load(ch["fer"]), ch["screen"], ch["rejects"]))
+            # The persisted global best (top-level present/shifts/fer) is
+            # authoritative: chains that reseeded or took screen-greedy
+            # accepts carry fer=inf, so min-over-chains alone can silently
+            # re-establish a worse "best" and the next checkpoint() would
+            # overwrite data/optimalH_tpu.txt with a worse matrix.
+            if "present" in st and np.isfinite(_fer_load(st.get("fer"))):
+                persisted_best = _Chain(
+                    QCMatrix(cfg.block_size, np.array(st["present"], bool),
+                             np.array(st["shifts"], np.int64)),
+                    _fer_load(st["fer"]), float("inf"))
         else:   # legacy single-incumbent state: seed chain 0 from it
             qc0 = QCMatrix(cfg.block_size, np.array(st["present"], bool),
                            np.array(st["shifts"], np.int64))
-            chains.append(_Chain(qc0, st["fer"],
+            chains.append(_Chain(qc0, _fer_load(st["fer"]),
                                  float(eval_screen([qc0])[0])))
         if chains:
             # re-baseline screens under the current (screen_iters,
@@ -292,6 +309,11 @@ def optimize(cfg: OptimizeConfig, log=print):
             chains.append(_Chain(q, float("inf"), float(s)))
     chains = chains[:cfg.population]
     best = min(chains, key=lambda c: c.fer)
+    if persisted_best is not None and persisted_best.fer < best.fer:
+        # seed the global best from the persisted top-level record; only a
+        # full-budget evaluation that beats this value may replace it
+        persisted_best.screen = float(eval_screen([persisted_best.qc])[0])
+        best = persisted_best
     if not np.isfinite(best.fer):        # fresh start: establish the best
         cand = min(chains, key=lambda c: c.screen)
         cand.fer = float(eval_full([cand.qc])[0])
@@ -303,6 +325,12 @@ def optimize(cfg: OptimizeConfig, log=print):
     log("initial chain screen FERs: "
         + " ".join(f"{c.screen:.3f}" for c in chains))
 
+    def _fer_dump(v: float):
+        # strict JSON: serialize non-finite FERs as null (round-trips with
+        # _fer_load above; json.dump would emit the non-standard token
+        # 'Infinity' that jq and other consumers reject)
+        return v if np.isfinite(v) else None
+
     def checkpoint(gen_done: int):
         save_matrix(best_qc.to_dense(), cfg.save_path)
         if cfg.state_path:
@@ -310,13 +338,13 @@ def optimize(cfg: OptimizeConfig, log=print):
                 json.dump({
                     "present": best_qc.present.tolist(),
                     "shifts": best_qc.shifts.tolist(),
-                    "fer": best_fer,
+                    "fer": _fer_dump(best_fer),
                     "generation": gen_done,
                     "reseed_flip": reseed_flip,
                     "initial": init_mat,
                     "chains": [{"present": c.qc.present.tolist(),
                                 "shifts": c.qc.shifts.tolist(),
-                                "fer": c.fer, "screen": c.screen,
+                                "fer": _fer_dump(c.fer), "screen": c.screen,
                                 "rejects": c.rejects} for c in chains]}, f)
 
     # ceil: the proposal budget is cfg.generations total proposals (the

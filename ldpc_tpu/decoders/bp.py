@@ -80,6 +80,19 @@ class BPDecoder:
     Parameters mirror ``BeliefPropagationDecoder`` (``algo/bp.h:208-222``);
     ``max_iter`` defaults to the reference's benchmark value 100
     (``main.cpp:29``).
+
+    Default precision/unroll (round 4): ``mxu_dtype=bfloat16`` and
+    ``unroll=2``. On TPU v5e these are FER-neutral *by construction* — the
+    MXU's DEFAULT f32 matmul path already rounds inputs to bf16, so bf16
+    message matmuls are bit-identical to the old f32 default (measured:
+    identical outputs AND identical speed; see PERF.md "null results").
+    FER parity at the bf16/unroll-2 defaults was validated at 10,000
+    trials x 11 SNRs on both benchmark matrices (0 FAIL,
+    ``reports/parity_optimalH_run.md``). Callers that need true f32
+    message matmuls (e.g. on CPU, where the MXU rounding does not apply)
+    can pass ``mxu_dtype=jnp.float32``; ``unroll`` only changes how many
+    BP iterations run per ``while_loop`` trip — per-iteration
+    syndrome/freeze semantics are preserved exactly.
     """
 
     def __init__(self, h, max_iter: int = 100, variant: str = "sumprod",

@@ -83,6 +83,15 @@ class ExperimentResult:
             setattr(self, f, getattr(self, f) + getattr(other, f))
 
 
+def _per_trial_counter_cap(decoder: Decoder, n: int) -> int:
+    """Max per-trial contribution to any int32 fused-scan counter: Hamming
+    distance <= n, total <= 1, and iterations <= the decoder's per-trial
+    iteration cap (QP-ADMM's max_iter=10000 dwarfs n+1, so bounding by
+    n+1 alone would admit trial counts whose sum_iterations overflows)."""
+    return max(n + 1, int(getattr(decoder, "max_iter", 0)),
+               int(getattr(decoder, "max_rounds", 0)))
+
+
 def make_experiment_step(decoder: Decoder, h, snr: float, base_key,
                          donate: bool = True):
     """Build the jitted one-batch experiment step.
@@ -201,7 +210,7 @@ def run_multi_snr_experiment(decoder: Decoder, h, codewords, snrs, key,
     # fetch (see run_experiment — the per-batch tunnel round trips cap fast
     # decoders at a fraction of kernel throughput)
     if (sharding is None and total_lanes % batch_size == 0
-            and t_total * (n + 1) < 2**31):
+            and t_total * _per_trial_counter_cap(decoder, n) < 2**31):
         n_batches = total_lanes // batch_size
 
         @jax.jit
@@ -333,10 +342,11 @@ def run_experiment(decoder: Decoder, h, codewords, snr: float, key,
     # below re-enters the tunnel per batch (dispatch + a 2 MB codeword
     # upload each time), which was measured to cap fast decoders (BP) at
     # ~1/3 of their kernel throughput. int32 counter bound: the scan
-    # accumulates sum_hamming <= T*n, so the fused path requires
-    # T*(n+1) < 2^31 (beyond that the host loop flushes every 64 batches).
+    # accumulates sum_hamming <= T*n and sum_iterations <= T*max_iter, so
+    # the fused path requires T*_per_trial_counter_cap < 2^31 (beyond that
+    # the host loop flushes every 64 batches).
     if (sharding is None and t_total % batch_size == 0
-            and t_total * (n + 1) < 2**31):
+            and t_total * _per_trial_counter_cap(decoder, n) < 2**31):
         n_batches = t_total // batch_size
         base_idx = jnp.arange(batch_size, dtype=jnp.int32)
 

@@ -69,3 +69,31 @@ def test_optimizer_resume(tmp_path):
         # resume path must load the saved state without error
         optimize(OptimizeConfig(generations=4, **kw),
                  log=lambda *a, **k: None)
+
+
+def test_optimizer_resume_keeps_persisted_best(tmp_path):
+    """Regression (round-4 advisor, high): a resumed run whose chains all
+    carry fer=inf (reseeded / screen-greedy accepts) must seed the global
+    best from the persisted top-level record, not recompute a worse one and
+    overwrite the best-matrix artifact."""
+    import json
+    from ldpc_tpu.apps.optimize_h import optimize
+    kw = dict(block_size=4, block_rows=2, block_cols=4, trials=32,
+              final_trials=32, snr=2.0, admm_max_iter=50, population=2,
+              seed=3, save_path=str(tmp_path / "best.txt"),
+              state_path=str(tmp_path / "state.json"))
+    optimize(OptimizeConfig(generations=2, **kw), log=lambda *a, **k: None)
+    with open(kw["state_path"]) as f:
+        st = json.load(f)
+    # simulate the flagged state: unbeatable persisted best, all-inf chains
+    st["fer"] = 0.0
+    for ch in st["chains"]:
+        ch["fer"] = None
+    with open(kw["state_path"], "w") as f:
+        json.dump(st, f)
+    optimize(OptimizeConfig(generations=4, **kw), log=lambda *a, **k: None)
+    with open(kw["state_path"]) as f:
+        st2 = json.load(f)         # strict JSON must round-trip (no Infinity)
+    assert st2["fer"] == 0.0
+    assert st2["present"] == st["present"]
+    assert st2["shifts"] == st["shifts"]
