@@ -50,16 +50,25 @@ NEUTRAL_LLR = 64.0  # pad-slot LLR: phi() == 0, sign +1 -> no contribution
 __all__ = ["BPDecoder"]
 
 
-def _check_update_rowlayout(v2c, mask, variant: str, ms_factor: float):
-    """Row-layout check-node update: v2c (B, m, dc) -> c2v (B, m, dc)."""
+def _check_update_rowlayout(v2c, mask, variant: str, ms_factor: float,
+                            phi_fn=None):
+    """Row-layout check-node update: v2c (B, m, dc) -> c2v (B, m, dc).
+
+    ``phi_fn`` overrides the phi-domain transform (default: the clamped
+    production ``ops.phi.phi``). The only intended non-default use is the
+    error-floor reproduction experiment (``scripts/prof/prof_bp_floor.py``),
+    which passes an *unclamped* phi to reinstate the reference's inf/NaN
+    saturation artifact (``algo/bp.h:34``)."""
+    if phi_fn is None:
+        phi_fn = phi
     neg = (v2c <= 0.0) & mask                       # sign conv: 0 -> negative (bp.h:83)
     sign_e = jnp.where(neg, -1.0, 1.0)
     total_neg = jnp.sum(neg, axis=-1, keepdims=True)
     sign_tot = 1.0 - 2.0 * (total_neg % 2).astype(v2c.dtype)
     if variant == "sumprod":
-        mag = jnp.where(mask, phi(jnp.abs(v2c)), 0.0)
+        mag = jnp.where(mask, phi_fn(jnp.abs(v2c)), 0.0)
         s = jnp.sum(mag, axis=-1, keepdims=True)
-        out_mag = phi(s - mag)
+        out_mag = phi_fn(s - mag)
     elif variant == "minsum":
         a = jnp.where(mask, jnp.abs(v2c), jnp.inf)
         m1 = jnp.min(a, axis=-1, keepdims=True)
