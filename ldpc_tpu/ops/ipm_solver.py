@@ -46,7 +46,8 @@ def _pos_step(v, dv, frac: float = 0.995):
 
 def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
                active=None, delta: float = 1e-6, check_every: int = 5,
-               x0=None, y0=None, warm_shift: float = 1e-2):
+               x0=None, y0=None, warm_shift: float = 1e-2,
+               factor_backend: str = "auto", stall_ratio: float = 0.8):
     """Mehrotra predictor-corrector IPM, batched over lanes. All matmuls
     (einsums AND the Cholesky / triangular-solve internals) run at
     Precision.HIGHEST: the TPU MXU's default f32 path rounds inputs to
@@ -65,7 +66,17 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
     Fixed-trip ``fori_loop`` of ``iters`` Newton steps; every
     ``check_every`` steps the whole batch short-circuits (lax.cond) once all
     active lanes are below ``tol`` in mu, primal and dual residuals.
+
+    ``factor_backend``: "auto" uses the blocked batched Cholesky
+    (:mod:`ldpc_tpu.ops.pallas.chol_kernel`) on TPU — XLA's
+    ``jnp.linalg.cholesky`` + ``cho_solve`` at this size are sequential-
+    overhead-bound (~19 + 2x3 ms in-loop at (64, 280, 280), ~80% of the
+    Newton step; ``scripts/prof/prof_newton_parts.py``) — and XLA
+    elsewhere; "xla" / "blocked" / "blocked-interpret" force a choice.
     """
+    if factor_backend == "auto":
+        factor_backend = ("blocked" if jax.default_backend() == "tpu"
+                          else "xla")
     with jax.default_matmul_precision("highest"):
         bsz, r_cap, n = a_rows.shape
         f32 = jnp.float32
@@ -131,11 +142,20 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
             m = jnp.einsum("bri,br,brj->bij", a, dy_s, a,
                            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
             m = m + jax.vmap(jnp.diag)(dxx) + delta * eye[None]
-            chol = jnp.linalg.cholesky(m)
+            if factor_backend.startswith("blocked"):
+                from .pallas.chol_kernel import (blocked_cho_solve,
+                                                 blocked_cholesky)
+                fac = blocked_cholesky(
+                    m, interpret=factor_backend == "blocked-interpret")
 
-            def m_solve(r):
-                return jax.scipy.linalg.cho_solve(
-                    (chol, True), r[..., None])[..., 0]
+                def m_solve(r):
+                    return blocked_cho_solve(fac, r)
+            else:
+                chol = jnp.linalg.cholesky(m)
+
+                def m_solve(r):
+                    return jax.scipy.linalg.cho_solve(
+                        (chol, True), r[..., None])[..., 0]
 
             def solve_dir(sig_mu, extra_y, extra_l, extra_u):
                 """Newton direction for complementarity targets
@@ -204,7 +224,7 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
             zu = jnp.maximum(zu, floor)
             return x, w, s, y, zl, zu
 
-        def converged(state):
+        def batch_err(state):
             x, w, s, y, zl, zu = state
             rp, rd, mu = residuals(x, w, s, y, zl, zu)
             err = jnp.maximum(
@@ -212,16 +232,38 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
                                 jnp.max(jnp.abs(rd), axis=-1)))
             if active is not None:
                 err = jnp.where(active, err, 0.0)
-            return jnp.max(err) <= tol
+            return jnp.max(err)
 
-        def chunk(_, state):
+        def chunk(_, carry):
+            # Run the next ``check_every`` Newton steps while the batch
+            # error is above tol and has not PLATEAUED — plateau means two
+            # consecutive chunk boundaries each improving the error by less
+            # than (1 - stall_ratio). On the degenerate cut LPs the f32
+            # plateau sits above any usable tol, so a tol-only
+            # short-circuit never fires and every solve pays the full
+            # ``iters`` budget; the plateau cut stops there instead — the
+            # steps it skips no longer change the iterate
+            # (A/B: scripts/prof/prof_ipm_ab.py). A single slow chunk is
+            # NOT terminal (Mehrotra's error decay is not monotone in
+            # 5-step windows; a one-stall latch was measured to wreck the
+            # cut-search quality and with it FER).
+            state, prev_err, stall_cnt = carry
+            err = batch_err(state)
+            improving = err < stall_ratio * prev_err
+            stall_cnt = jnp.where(improving, 0, stall_cnt + 1)
+            go = (err > tol) & (stall_cnt < 2)
+
             def run(state):
                 return jax.lax.fori_loop(
                     0, check_every, lambda _, s: newton(s), state)
-            return jax.lax.cond(converged(state), lambda s: s, run, state)
+
+            state = jax.lax.cond(go, run, lambda s: s, state)
+            return state, err, stall_cnt
 
         n_chunks = -(-iters // check_every)
-        state = jax.lax.fori_loop(0, n_chunks, chunk, (x, w, s, y, zl, zu))
+        state, _, _ = jax.lax.fori_loop(
+            0, n_chunks, chunk,
+            ((x, w, s, y, zl, zu), jnp.float32(jnp.inf), jnp.int32(0)))
         x, w, s, y, zl, zu = state
 
         # certificate in the caller's (unscaled-c) convention, matching
