@@ -17,7 +17,7 @@ DECODER_NAMES = ("bp", "qp-admm", "full-lp", "alp", "agc-alp")
 # family is LP-solve-bound and flat in batch size, so stay small to keep
 # refill latency low (AGC's IPM rounds are long — keep its cohort tiny).
 DEFAULT_BATCH = {"bp": 8192, "qp-admm": 1024, "full-lp": 256,
-                 "alp": 256, "agc-alp": 64}
+                 "alp": 256, "agc-alp": 128}
 
 
 def default_batch(kind: str) -> int:

@@ -179,7 +179,12 @@ class _AdaptiveLPBase:
         # marginal matvec cost per wasted row is amortized by the rarity of
         # lanes that deep. Works for any (m, n, max_rows).
         fine = list(range(128, min(512, self.capacity) + 1, 128))
-        coarse = list(range(768, self.capacity, 256))
+        # coarse rungs: 256-step but phase-shifted to start at 640 — every
+        # rung stays a 128 multiple (the fused-PDHG alignment invariant)
+        # while the 896/1152 rungs sit under AGC's observed active-cut mass
+        # (~900-1150 of a 1408 cap), where 768/1024/1280 rungs overshot the
+        # matvec row count by up to 16%
+        coarse = list(range(640, self.capacity, 256))
         self._tiers = tuple(t for t in fine + coarse if t < self.capacity)
         # lp_backend: "auto" -> fused Pallas kernel on TPU, plain XLA
         # elsewhere; "xla" forces XLA; "pallas-interpret" runs the kernel in
