@@ -56,12 +56,13 @@ _VMEM_A_BUDGET = 6 * 1024 * 1024
 
 
 def pick_group_size(bsz: int, t_rows: int, n_pad: int,
-                    max_group: int = 8) -> int:
-    """Largest G in {8,4,2,1} dividing bsz with G*T*n_pad*4 <= budget."""
-    for g in (8, 4, 2, 1):
+                    max_group: int = 16, a_bytes: int = 2) -> int:
+    """Largest G in {16,8,4,2,1} dividing bsz with G*T*n_pad*a_bytes
+    within budget."""
+    for g in (16, 8, 4, 2, 1):
         if g > max_group:
             continue
-        if bsz % g == 0 and g * t_rows * n_pad * 4 <= _VMEM_A_BUDGET:
+        if bsz % g == 0 and g * t_rows * n_pad * a_bytes <= _VMEM_A_BUDGET:
             return g
     return 1
 
@@ -70,6 +71,11 @@ def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
             xo_ref, yo_ref, viol_ref, *, iters: int, group: int,
             average: bool):
     g_sz = group
+    # A is stored bf16 on TPU (cut rows are ±1-valued — exact in bf16;
+    # and the MXU's DEFAULT f32 matmul path rounds the vector operand to
+    # bf16 anyway, so the explicit cast below is bit-identical to the old
+    # f32 storage) — halving VMEM doubles the lane-group size G.
+    a_dt = a_ref.dtype
 
     def lane_err(x_g, y_g, c_g, a_g, b_g):
         """max(primal violation, relative duality gap) — primal feasibility
@@ -77,10 +83,12 @@ def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
         before it is *optimal*, and the ALP cut search at a suboptimal point
         emits cuts that do not separate the true LP optimum (budget-burning
         junk cuts — the round-2 AGC-ALP FER gap)."""
-        ax = jax.lax.dot_general(x_g, a_g, (((1,), (1,)), ((), ())),
+        ax = jax.lax.dot_general(x_g.astype(a_dt), a_g,
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         viol = jnp.max(jnp.maximum(ax - b_g, 0.0))
-        aty = jax.lax.dot_general(y_g, a_g, (((1,), (0,)), ((), ())),
+        aty = jax.lax.dot_general(y_g.astype(a_dt), a_g,
+                                  (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         rc = c_g + aty
         pobj = jnp.sum(c_g * x_g)
@@ -109,12 +117,13 @@ def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
                 a_g = a_ref[0, g]                     # (T, n_pad) VMEM
                 x_g, y_g = xs[g], ys[g]               # (1, n), (1, T)
                 aty = jax.lax.dot_general(
-                    y_g, a_g, (((1,), (0,)), ((), ())),
+                    y_g.astype(a_dt), a_g, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 x_new = jnp.clip(
                     x_g - tau[g:g + 1] * (c[g:g + 1] + aty), 0.0, 1.0)
                 ax = jax.lax.dot_general(
-                    2.0 * x_new - x_g, a_g, (((1,), (1,)), ((), ())),
+                    (2.0 * x_new - x_g).astype(a_dt), a_g,
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 y_new = jnp.maximum(
                     0.0, y_g + sigma[g:g + 1] * (ax - b[g:g + 1]))
@@ -161,7 +170,7 @@ def _kernel(act_ref, c_ref, a_ref, b_ref, tau_ref, sigma_ref, x_ref, y_ref,
                                     "average"))
 def pdhg_chunk_pallas(c, a, b, tau, sigma, x, y, *, iters: int,
                       active=None, interpret: bool = False,
-                      max_group: int = 8, average: bool = False):
+                      max_group: int = 16, average: bool = False):
     """Run ``iters`` PDHG steps per lane with A VMEM-resident.
 
     c, tau, x: (B, n); a: (B, T, n); b, sigma, y: (B, T). T must be a
@@ -179,7 +188,15 @@ def pdhg_chunk_pallas(c, a, b, tau, sigma, x, y, *, iters: int,
         x = jnp.pad(x, pad)
         a = jnp.pad(a, [(0, 0), (0, 0), (0, n_pad - n)])
 
-    g_sz = pick_group_size(bsz, t_rows, n_pad, max_group)
+    # bf16 A storage on the real TPU (±1 cut rows are exact in bf16, and
+    # the MXU rounds the f32 vector operand to bf16 at DEFAULT precision
+    # regardless — bit-identical, half the VMEM, double the group size).
+    # Interpreter mode keeps f32 so the CPU differential tests compare the
+    # solvers in exact arithmetic.
+    if not interpret:
+        a = a.astype(jnp.bfloat16)
+    g_sz = pick_group_size(bsz, t_rows, n_pad, max_group,
+                           a_bytes=a.dtype.itemsize)
     n_grp = bsz // g_sz
     if active is None:
         act = jnp.ones((n_grp, 1, 1), jnp.int32)
