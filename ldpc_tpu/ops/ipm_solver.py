@@ -63,9 +63,11 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
     err (B,) = max(primal violation, relative duality gap) — the same
     per-lane certificate as ``pdhg_box_lp(tol=...)``.
 
-    Fixed-trip ``fori_loop`` of ``iters`` Newton steps; every
-    ``check_every`` steps the whole batch short-circuits (lax.cond) once all
-    active lanes are below ``tol`` in mu, primal and dual residuals.
+    Fixed-trip ``fori_loop`` of up to ``iters`` Newton steps; every
+    ``check_every`` steps the whole batch short-circuits (lax.cond) once
+    all active lanes are below ``tol`` in mu/primal/dual residuals OR the
+    batch error has plateaued — two consecutive chunk boundaries each
+    improving it by less than ``1 - stall_ratio`` (see the chunk loop).
 
     ``factor_backend``: "auto" uses the blocked batched Cholesky
     (:mod:`ldpc_tpu.ops.pallas.chol_kernel`) on TPU — XLA's
