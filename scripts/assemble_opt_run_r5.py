@@ -2,10 +2,9 @@
 
 AGC-ALP rows are regenerated at flat 10k under the round-5 fast config
 (blocked Cholesky + plateau-adaptive IPM budget,
-``reports/report_tpu_opt_agc_r5_ext.csv``); BP/QP-ADMM
-(``reports/report_tpu_opt_bp_admm.csv``) and ALP
-(``reports/report_tpu_optimalH_alp10k.csv``) keep their round-4 flat-10k
-runs — those decoder configs are unchanged. Outputs
+``reports/report_tpu_opt_agc_r5_ext.csv``); BP/QP-ADMM/ALP rows come from
+the round-4 EXECUTED one-command run (``reports/report_tpu_opt_run.csv``,
+flat 10k) — those decoder configs are unchanged in round 5. Outputs
 ``reports/report_tpu_opt_run_r5.csv`` and regenerates
 ``reports/parity_optimalH_run.md`` + ``.json``.
 
@@ -21,18 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ldpc_tpu.harness.reference_data import Z_BOUND, ref_fer, z_score
 
 ORDER = ["BP", "QP-ADMM", "ALP", "AGC-ALP"]
-SOURCES = ["reports/report_tpu_opt_bp_admm.csv",
-           "reports/report_tpu_optimalH_alp10k.csv",
-           "reports/report_tpu_opt_agc_r5.csv"]
 
 
 def main():
     rows, header = [], None
-    for src in SOURCES:
-        with open(src) as f:
-            r = csv.reader(f)
-            header = next(r)
-            rows.extend([x for x in r if x])
+    with open("reports/report_tpu_opt_run.csv") as f:
+        r = csv.reader(f)
+        header = next(r)
+        rows.extend([x for x in r if x and x[0] != "AGC-ALP"])
+    with open("reports/report_tpu_opt_agc_r5.csv") as f:
+        r = csv.reader(f)
+        next(r)
+        rows.extend([x for x in r if x])
     rows.sort(key=lambda x: (ORDER.index(x[0]), float(x[1])))
     assert len(rows) == 44, f"expected 44 rows, got {len(rows)}"
     with open("reports/report_tpu_opt_run_r5.csv", "w", newline="") as f:
@@ -41,15 +40,12 @@ def main():
         w.writerows(rows)
 
     n_by = {}
-    for j in ("reports/parity_optimalH_bp_admm.json",
-              "reports/parity_optimalH_alp10k.json"):
-        with open(j) as f:
-            for r in json.load(f):
-                n_by[(r["method"], round(float(r["snr"]), 1))] = int(r["n"])
-    with open("reports/report_tpu_opt_agc_r5_ext.csv") as f:
-        for r in csv.DictReader(f):
-            n_by[(r["Method"], round(float(r["SNR"]), 1))] = \
-                int(float(r["Trials"]))
+    for src in ("reports/report_tpu_opt_run_ext.csv",
+                "reports/report_tpu_opt_agc_r5_ext.csv"):
+        with open(src) as f:
+            for r in csv.DictReader(f):
+                n_by[(r["Method"], round(float(r["SNR"]), 1))] = \
+                    int(float(r["Trials"]))
 
     out = []
     for x in rows:
