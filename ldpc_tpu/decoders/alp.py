@@ -475,8 +475,14 @@ class ALPDecoder(_AdaptiveLPBase):
     prefer_streaming = False
 
     def __init__(self, h, max_rounds: int = 64, lp_iters: int = 64,
-                 int_tol: float = 3e-2, max_rows: int = 512,
+                 int_tol: float = 3e-2, max_rows: int | None = None,
                  cut_tol: float = 1e-3, lp_backend: str = "auto"):
+        if max_rows is None:
+            # derived, not hardcoded: the reference ALP has NO row cap, so
+            # the default must scale with the code — one cut round can add
+            # up to m cuts, and a cap below ~2m binds on larger codes
+            # (H02's m=520 deadlocked the old flat 512 in a single round)
+            max_rows = max(512, 2 * int(np.asarray(h).shape[0]))
         super().__init__(h, max_rows=max_rows, max_rounds=max_rounds,
                          lp_iters=lp_iters, int_tol=int_tol, cut_tol=cut_tol,
                          lp_backend=lp_backend)

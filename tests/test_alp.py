@@ -172,6 +172,10 @@ def test_alp_h02_large_code_no_retuning():
     assert all(t % 128 == 0 for t in dec._tiers)
     assert dec._tiers[0] == 128 and dec._tiers[-1] < dec.capacity
     assert dec.capacity % 128 == 0 and dec.capacity >= dec.max_rows
+    # the row budget must scale with the code: a cap <= m binds in a single
+    # cut round (every check row can emit a cut) and deadlocks the loop —
+    # the round-5 H02 benchmark caught the old flat 512 doing exactly that
+    assert dec.max_rows >= 2 * h.shape[0]
 
     key = jax.random.PRNGKey(5)
     cw = gen_random_codewords(key, g, 4)
