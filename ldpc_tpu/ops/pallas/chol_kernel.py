@@ -111,12 +111,9 @@ def _chol_diag_inv(d, nb: int, interpret: bool = False):
         kern,
         out_shape=(jax.ShapeDtypeStruct((nb, nb, bsz), jnp.float32),
                    jax.ShapeDtypeStruct((nb, nb, bsz), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)
-                  if False else pl.BlockSpec((nb, nb, bsz),
-                                             lambda: (0, 0, 0))],
+        in_specs=[pl.BlockSpec((nb, nb, bsz), lambda: (0, 0, 0))],
         out_specs=(pl.BlockSpec((nb, nb, bsz), lambda: (0, 0, 0)),
                    pl.BlockSpec((nb, nb, bsz), lambda: (0, 0, 0))),
-        input_output_aliases={0: None} if False else {},
         interpret=interpret,
     )(dt.astype(jnp.float32))
     # l_t[k, i, b] = L[i, k] -> (B, i, k); v_t[i, k, b] = V[i, k] -> (B, i, k)

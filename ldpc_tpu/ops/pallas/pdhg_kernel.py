@@ -56,9 +56,11 @@ _VMEM_A_BUDGET = 6 * 1024 * 1024
 
 
 def pick_group_size(bsz: int, t_rows: int, n_pad: int,
-                    max_group: int = 16, a_bytes: int = 2) -> int:
+                    max_group: int = 16, a_bytes: int = 4) -> int:
     """Largest G in {16,8,4,2,1} dividing bsz with G*T*n_pad*a_bytes
-    within budget."""
+    within budget. ``a_bytes`` defaults to the conservative f32 width —
+    the bf16 storage width is opt-in at the call site (the wrapper passes
+    ``a.dtype.itemsize`` after deciding the storage dtype)."""
     for g in (16, 8, 4, 2, 1):
         if g > max_group:
             continue

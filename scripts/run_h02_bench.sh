@@ -33,4 +33,5 @@ python -m ldpc_tpu.apps.benchmark \
     --report reports/report_tpu_H02.csv \
     --extended-report reports/report_tpu_H02_ext.csv \
     --resume true
-echo "[h02] done $(date)"
+rc=$?
+echo "[h02] done $(date) rc=$rc"

@@ -16,7 +16,8 @@ python -m ldpc_tpu.apps.benchmark \
     --report reports/report_tpu_H05_run.csv \
     --extended-report reports/report_tpu_H05_run_ext.csv \
     --resume true
-echo "[sweep] H05 alp+agc done $(date) rc=$?"
+rc=$?
+echo "[sweep] H05 alp+agc done $(date) rc=$rc"
 
 python -m ldpc_tpu.apps.benchmark \
     --matrix data/optimalH.txt --decoders agc-alp \
@@ -24,5 +25,6 @@ python -m ldpc_tpu.apps.benchmark \
     --report reports/report_tpu_opt_agc_r5.csv \
     --extended-report reports/report_tpu_opt_agc_r5_ext.csv \
     --resume true
-echo "[sweep] optimalH agc done $(date) rc=$?"
+rc=$?
+echo "[sweep] optimalH agc done $(date) rc=$rc"
 echo "[sweep] all done $(date)"
