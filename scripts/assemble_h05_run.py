@@ -5,9 +5,12 @@ Sources:
   * BP + QP-ADMM rows: the round-4 flat-10k run
     (``reports/report_tpu_H05_bp_admm.csv``; per-row n from
     ``reports/parity_H05_bp_admm.json`` — all 22 rows at n=10,000).
-  * ALP + AGC-ALP rows: the round-5 one-command sweep
+  * ALP rows: the round-5 one-command sweep
     (``reports/report_tpu_H05_run_ext.csv`` via ``apps.benchmark``,
     11 SNRs x 10,000 trials each).
+  * AGC-ALP rows: regenerated under the FINAL round-5 config (per-lane
+    latched IPM stall rule, ``reports/report_tpu_H05_agc_r5b{,_ext}.csv``)
+    when that file exists; otherwise the one-command sweep's rows.
 
 Outputs ``reports/report_tpu_H05.csv`` (44 rows, reference format) and
 ``reports/parity_H05_run.md`` + ``.json`` (verdicts vs
@@ -29,6 +32,7 @@ ORDER = ["BP", "QP-ADMM", "ALP", "AGC-ALP"]
 
 def main():
     # 1. reference-format 44-row CSV
+    agc_r5b = os.path.exists("reports/report_tpu_H05_agc_r5b.csv")
     rows = []
     header = None
     with open("reports/report_tpu_H05_bp_admm.csv") as f:
@@ -38,7 +42,13 @@ def main():
     with open("reports/report_tpu_H05_run.csv") as f:
         r = csv.reader(f)
         next(r)
-        rows.extend([x for x in r if x])
+        rows.extend([x for x in r
+                     if x and not (agc_r5b and x[0] == "AGC-ALP")])
+    if agc_r5b:
+        with open("reports/report_tpu_H05_agc_r5b.csv") as f:
+            r = csv.reader(f)
+            next(r)
+            rows.extend([x for x in r if x])
     rows.sort(key=lambda x: (ORDER.index(x[0]), float(x[1])))
     assert len(rows) == 44, f"expected 44 rows, got {len(rows)}"
     with open("reports/report_tpu_H05.csv", "w", newline="") as f:
@@ -52,10 +62,14 @@ def main():
     with open("reports/parity_H05_bp_admm.json") as f:
         for r in json.load(f):
             n_by[(r["method"], round(float(r["snr"]), 1))] = int(r["n"])
-    with open("reports/report_tpu_H05_run_ext.csv") as f:
-        for r in csv.DictReader(f):
-            n_by[(r["Method"], round(float(r["SNR"]), 1))] = \
-                int(float(r["Trials"]))
+    ext_srcs = ["reports/report_tpu_H05_run_ext.csv"]
+    if agc_r5b:
+        ext_srcs.append("reports/report_tpu_H05_agc_r5b_ext.csv")
+    for src in ext_srcs:
+        with open(src) as f:
+            for r in csv.DictReader(f):
+                n_by[(r["Method"], round(float(r["SNR"]), 1))] = \
+                    int(float(r["Trials"]))
 
     out = []
     for x in rows:
