@@ -32,7 +32,12 @@ ORDER = ["BP", "QP-ADMM", "ALP", "AGC-ALP"]
 
 def main():
     # 1. reference-format 44-row CSV
-    agc_r5b = os.path.exists("reports/report_tpu_H05_agc_r5b.csv")
+    agc_r5b = False
+    if os.path.exists("reports/report_tpu_H05_agc_r5b.csv"):
+        with open("reports/report_tpu_H05_agc_r5b.csv") as f:
+            # prefer the rerun only when COMPLETE (11 rows) — a partial
+            # file (crash/round-end mid-sweep) falls back wholesale
+            agc_r5b = sum(1 for ln in f if ln.strip()) >= 12
     rows = []
     header = None
     with open("reports/report_tpu_H05_bp_admm.csv") as f:
