@@ -47,7 +47,8 @@ def _pos_step(v, dv, frac: float = 0.995):
 def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
                active=None, delta: float = 1e-6, check_every: int = 5,
                x0=None, y0=None, warm_shift: float = 1e-2,
-               factor_backend: str = "auto", stall_ratio: float = 0.8):
+               factor_backend: str = "auto", stall_ratio: float = 0.8,
+               matvec_backend: str = "auto"):
     """Mehrotra predictor-corrector IPM, batched over lanes. All matmuls
     (einsums AND the Cholesky / triangular-solve internals) run at
     Precision.HIGHEST: the TPU MXU's default f32 path rounds inputs to
@@ -69,6 +70,16 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
     batch error has plateaued — two consecutive chunk boundaries each
     improving it by less than ``1 - stall_ratio`` (see the chunk loop).
 
+    ``matvec_backend``: "auto" routes the per-step constraint matvecs
+    through the transposed bf16 VPU kernel on TPU
+    (:mod:`ldpc_tpu.ops.pallas.gemv_kernel`, ~1.8-2x the HIGHEST einsum;
+    cut rows are +-1-valued so bf16 storage is exact and the kernel's f32
+    accumulation is HIGHEST-grade or better) and the XLA einsums elsewhere;
+    "xla" / "pallas" / "pallas-interpret" force a choice. The running
+    ``A x`` residual is carried incrementally across Newton steps (the
+    corrector's ``A dx`` is reused; ~1e-7-scale drift) and re-derived
+    exactly at every chunk boundary and for the final certificate.
+
     ``factor_backend``: "auto" uses the blocked batched Cholesky
     (:mod:`ldpc_tpu.ops.pallas.chol_kernel`) on TPU — XLA's
     ``jnp.linalg.cholesky`` + ``cho_solve`` at this size are sequential-
@@ -79,11 +90,36 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
     if factor_backend == "auto":
         factor_backend = ("blocked" if jax.default_backend() == "tpu"
                           else "xla")
+    if matvec_backend == "auto":
+        matvec_backend = ("pallas" if jax.default_backend() == "tpu"
+                          else "xla")
     with jax.default_matmul_precision("highest"):
         bsz, r_cap, n = a_rows.shape
         f32 = jnp.float32
         c = c.astype(f32)
         a = a_rows.astype(f32)
+
+        if matvec_backend.startswith("pallas"):
+            from .pallas.gemv_kernel import (batched_gemv, batched_gemv_t,
+                                             prepare_gemv)
+            at_bf = prepare_gemv(a)
+            interp = matvec_backend == "pallas-interpret"
+
+            def mv(x):
+                return batched_gemv(at_bf, x, interpret=interp)
+
+            def mvt(y):
+                return batched_gemv_t(at_bf, y, n, interpret=interp)
+        else:
+            def mv(x):
+                return jnp.einsum("brn,bn->br", a, x,
+                                  preferred_element_type=f32,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+            def mvt(y):
+                return jnp.einsum("brn,br->bn", a, y,
+                                  preferred_element_type=f32,
+                                  precision=jax.lax.Precision.HIGHEST)
 
         # per-lane objective scaling for conditioning (argmin-invariant)
         cscale = jnp.maximum(jnp.mean(jnp.abs(c), axis=-1, keepdims=True), 1e-6)
@@ -104,15 +140,12 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
         else:
             x = jnp.full((bsz, n), 0.5, f32)
         w = 1.0 - x
-        ax = jnp.einsum("brn,bn->br", a, x, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+        ax = mv(x)
         s = jnp.maximum(be - ax, warm_shift if x0 is not None else 1.0)
         if y0 is not None:
             y = jnp.maximum(y0.astype(f32) / jnp.maximum(cscale, 1e-6),
                             warm_shift)
-            aty0 = jnp.einsum("brn,br->bn", a, y,
-                              preferred_element_type=f32,
-                              precision=jax.lax.Precision.HIGHEST)
-            rc0 = cs + aty0
+            rc0 = cs + mvt(y)
             zl = jnp.maximum(rc0, warm_shift)
             zu = jnp.maximum(-rc0, warm_shift)
         else:
@@ -123,18 +156,16 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
         n_compl = f32(r_cap + 2 * n)
         eye = jnp.eye(n, dtype=f32)
 
-        def residuals(x, w, s, y, zl, zu):
-            ax = jnp.einsum("brn,bn->br", a, x, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+        def residuals(ax, x, w, s, y, zl, zu):
             rp = ax + s - be                                        # (B, R)
-            aty = jnp.einsum("brn,br->bn", a, y, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-            rd = cs + aty - zl + zu                                 # (B, n)
+            rd = cs + mvt(y) - zl + zu                              # (B, n)
             mu = (jnp.sum(y * s, axis=-1) + jnp.sum(zl * x, axis=-1)
                   + jnp.sum(zu * w, axis=-1)) / n_compl             # (B,)
             return rp, rd, mu
 
         def newton(state):
-            x, w, s, y, zl, zu = state
-            rp, rd, mu = residuals(x, w, s, y, zl, zu)
+            x, w, s, y, zl, zu, ax = state
+            rp, rd, mu = residuals(ax, x, w, s, y, zl, zu)
 
             dy_s = jnp.clip(y / s, 1e-10, 1e10)                     # (B, R)
             dxl = jnp.clip(zl / x, 1e-10, 1e10)
@@ -166,22 +197,19 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
                 ry = (sig_mu[:, None] - extra_y) / s - y            # (B, R)
                 rl = (sig_mu[:, None] - extra_l) / x - zl           # (B, n)
                 ru = (sig_mu[:, None] - extra_u) / w - zu           # (B, n)
-                rhs = (-rd
-                       - jnp.einsum("brn,br->bn", a, ry + dy_s * rp,
-                                    preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                       + rl - ru)
+                rhs = -rd - mvt(ry + dy_s * rp) + rl - ru
                 dx = m_solve(rhs)
-                ds = -rp - jnp.einsum("brn,bn->br", a, dx,
-                                      preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                adx = mv(dx)
+                ds = -rp - adx
                 dy = ry - dy_s * ds
                 dzl = rl - dxl * dx
                 dzu = ru + dxu * dx
-                return dx, dy, ds, dzl, dzu
+                return dx, dy, ds, dzl, dzu, adx
 
             zero_r = jnp.zeros_like(y)
             zero_n = jnp.zeros_like(x)
             # predictor (affine scaling, sigma = 0)
-            dxa, dya, dsa, dzla, dzua = solve_dir(
+            dxa, dya, dsa, dzla, dzua, _ = solve_dir(
                 jnp.zeros((bsz,), f32), zero_r, zero_n, zero_n)
             ap = jnp.minimum(_pos_step(s, dsa),
                              jnp.minimum(_pos_step(x, dxa),
@@ -198,7 +226,7 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
             sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-12)) ** 3, 0.0, 1.0)
 
             # corrector (reuses the factorization)
-            dx, dy, ds, dzl, dzu = solve_dir(
+            dx, dy, ds, dzl, dzu, adx = solve_dir(
                 sigma * mu, dya * dsa, dzla * dxa, -dzua * dxa)
             ap = jnp.minimum(_pos_step(s, ds),
                              jnp.minimum(_pos_step(x, dx), _pos_step(w, -dx)))
@@ -210,6 +238,11 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
             # instead of poisoning the batch-max convergence check.
             ok = (jnp.all(jnp.isfinite(dx), axis=-1)
                   & jnp.all(jnp.isfinite(dy), axis=-1))[:, None]
+            # running A x: reuse the corrector matvec instead of paying a
+            # fresh one next step (re-derived exactly at chunk boundaries;
+            # the interior clip below drifts it by at most the clip amount,
+            # ~1e-12-scale)
+            ax = jnp.where(ok, ax + ap[:, None] * adx, ax)
             x = jnp.where(ok, x + ap[:, None] * dx, x)
             w = 1.0 - x
             s = jnp.where(ok, s + ap[:, None] * ds, s)
@@ -224,17 +257,18 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
             y = jnp.maximum(y, floor)
             zl = jnp.maximum(zl, floor)
             zu = jnp.maximum(zu, floor)
-            return x, w, s, y, zl, zu
+            return x, w, s, y, zl, zu, ax
 
         def lane_errs(state):
-            x, w, s, y, zl, zu = state
-            rp, rd, mu = residuals(x, w, s, y, zl, zu)
+            x, w, s, y, zl, zu, _ = state
+            ax = mv(x)                      # exact refresh of the carry
+            rp, rd, mu = residuals(ax, x, w, s, y, zl, zu)
             err = jnp.maximum(
                 mu, jnp.maximum(jnp.max(jnp.abs(rp) * row_on, axis=-1),
                                 jnp.max(jnp.abs(rd), axis=-1)))
             if active is not None:
                 err = jnp.where(active, err, 0.0)
-            return err                                       # (B,)
+            return err, ax                                   # (B,), (B, R)
 
         def chunk(_, carry):
             # Run the next ``check_every`` Newton steps while ANY lane is
@@ -253,7 +287,8 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
             # single worst lane's plateau freeze lanes still converging
             # toward tol (round-5 review finding).
             state, best_err, stall_cnt = carry
-            err = lane_errs(state)
+            err, ax_fresh = lane_errs(state)
+            state = state[:6] + (ax_fresh,)
             # "improving" is judged against the lane's RUNNING MINIMUM and
             # a stalled lane stays stalled: plateau errors fluctuate, and
             # judging against the previous boundary lets the noise read as
@@ -275,16 +310,15 @@ def ipm_box_lp(c, a_rows, b, iters: int = 35, tol: float = 1e-6,
         n_chunks = -(-iters // check_every)
         state, _, _ = jax.lax.fori_loop(
             0, n_chunks, chunk,
-            ((x, w, s, y, zl, zu),
+            ((x, w, s, y, zl, zu, ax),
              jnp.full((bsz,), jnp.inf, f32), jnp.zeros((bsz,), jnp.int32)))
-        x, w, s, y, zl, zu = state
+        x, w, s, y, zl, zu, _ = state
 
         # certificate in the caller's (unscaled-c) convention, matching
         # pdhg_box_lp's lane_err: max(primal violation, relative duality gap)
-        ax = jnp.einsum("brn,bn->br", a, x, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+        ax = mv(x)
         viol = jnp.max(jnp.maximum(ax - be, 0.0), axis=-1)
-        aty = jnp.einsum("brn,br->bn", a, y, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-        rc = cs + aty
+        rc = cs + mvt(y)
         pobj = jnp.sum(cs * x, axis=-1)
         dobj = -jnp.sum(be * y * row_on, axis=-1) \
             + jnp.sum(jnp.minimum(rc, 0.0), axis=-1)
