@@ -149,6 +149,10 @@ class _AdaptiveLPBase:
         # reach mu ~ 1e-6; tol is on max(mu, |r_p|, |r_d|) in scaled units
         self.ipm_iters = 40
         self.ipm_tol = 1e-5
+        # Newton-chunk granularity: the plateau stop rule needs two
+        # consecutive non-improving chunk boundaries, so the minimum paid
+        # work per solve is ~3*ipm_check_every steps (see ops.ipm_solver)
+        self.ipm_check_every = 5
         # shifted warm start across cut rounds (see ops.ipm_solver)
         self.ipm_warm = True
         # adaptive inner-solve budget: chunks of lp_iters up to lp_max_iters,
@@ -282,6 +286,7 @@ class _AdaptiveLPBase:
                         x_t, y_t, v_t = ipm_box_lp(
                             obj_, a_t[:, :t], rhs_t[:, :t],
                             iters=self.ipm_iters, tol=self.ipm_tol,
+                            check_every=self.ipm_check_every,
                             active=act_, **warm)
                     elif self.lp_backend == "xla" or t % 128 != 0:
                         x_t, y_t, v_t = pdhg_box_lp(

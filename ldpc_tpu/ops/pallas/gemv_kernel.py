@@ -159,9 +159,15 @@ def _normal_kernel(a_ref, d_ref, dxx_ref, o_ref, *, group: int,
         acc = None
         for d_k in (d_hi, d_mid, d_lo):
             s_k = a_g * d_k                              # (n8, T) bf16 exact
+            # precision pinned to DEFAULT: the operands are already exact
+            # bf16 so one MXU pass IS the full product, and the caller's
+            # default_matmul_precision("highest") context would otherwise
+            # ask Mosaic for an fp32 contract on bf16 operands ("Bad lhs
+            # type" compile error)
             m_k = jax.lax.dot_general(
                 s_k, a_g, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)              # (n8, n8)
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.DEFAULT)     # (n8, n8)
             acc = m_k if acc is None else acc + m_k
         n8 = a_g.shape[0]
         row = jax.lax.broadcasted_iota(jnp.int32, (n8, n8), 0)
